@@ -1,0 +1,302 @@
+"""Continuous-batching engine: slot allocation, chunked prefill, batched
+decode — the TPU-native replacement for the vLLM engine + scheduler +
+model-runner stack the reference plugs into (SURVEY.md §1, §3.2-3.3).
+
+Key differences from the CUDA design, driven by XLA's static-shape world:
+  * token layout per step is either one prefill chunk (padded to a bucket)
+    or the dense slot batch for decode — replacing the
+    `[meta | prefills | decodes]` flattened layout of
+    `attention/meta_attention.py:612-639`;
+  * CUDA-graph capture is replaced by jit caching: one compiled program per
+    prefill bucket + one for decode, with donated cache buffers;
+  * request→slot mapping with clear-on-new-prefill mirrors
+    `models/hymeta_cache.py` + `modeling_hymeta.py:1202-1227`;
+  * the 70B metatoken caches are computed once at load
+    (models/hymeta.py:precompute_meta), deleting the warm-up hacks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import time
+from collections import deque
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_hymeta_tpu import cache as cache_lib
+from vllm_hymeta_tpu.config import HymetaConfig
+from vllm_hymeta_tpu.engine import sampler as sampler_lib
+from vllm_hymeta_tpu.engine.sampler import SamplingParams
+from vllm_hymeta_tpu.models import get_model
+
+
+@dataclasses.dataclass
+class EngineConfig:
+    max_num_seqs: int = 8
+    max_model_len: int = 32768
+    prefill_chunk: int = 8192          # max tokens per prefill step
+    prefill_buckets: Tuple[int, ...] = (512, 2048, 8192)
+    kv_dtype: str = "bfloat16"
+    state_dtype: str = "float32"
+    use_device_sampling: bool = True
+
+
+@dataclasses.dataclass
+class Request:
+    req_id: int
+    prompt: List[int]
+    params: SamplingParams
+    slot: int = -1
+    prefill_done: int = 0              # prompt tokens already processed
+    output: List[int] = dataclasses.field(default_factory=list)
+    finished: bool = False
+    finish_reason: Optional[str] = None
+    t_arrival: float = 0.0
+    t_first_token: Optional[float] = None
+
+
+class Engine:
+    """Single-program (one process / one mesh) serving engine."""
+
+    def __init__(self, cfg, params, engine_cfg: Optional[EngineConfig] = None,
+                 meta: Optional[dict] = None, seed: int = 0):
+        self.cfg = cfg
+        self.params = params
+        self.ecfg = engine_cfg or EngineConfig()
+        self.model = get_model(cfg)
+        self.is_hymeta = isinstance(cfg, HymetaConfig)
+        if self.is_hymeta and meta is None:
+            meta = self.model.precompute_meta(cfg, params)
+        self.meta = meta
+
+        cc = cache_lib.CacheConfig(
+            max_num_seqs=self.ecfg.max_num_seqs,
+            max_model_len=self.ecfg.max_model_len,
+            kv_dtype=self.ecfg.kv_dtype,
+            state_dtype=self.ecfg.state_dtype)
+        self.cache = self.model.init_cache(cfg, cc)
+        self.cc = cc
+
+        S = self.ecfg.max_num_seqs
+        self.free_slots = deque(range(S))
+        self.slot_req: Dict[int, Request] = {}
+        self.waiting: deque = deque()
+        self.next_id = 0
+        self.rng = jax.random.PRNGKey(seed)
+
+        # device-side per-slot sampling state
+        self.samp_state = {
+            "temperature": jnp.zeros((S,), jnp.float32),
+            "top_k": jnp.zeros((S,), jnp.int32),
+            "top_p": jnp.ones((S,), jnp.float32),
+            "rep_penalty": jnp.ones((S,), jnp.float32),
+            "seen": jnp.zeros((S, cfg.vocab_size), jnp.bool_),
+        }
+        # host mirrors
+        self.positions = np.zeros((S,), np.int64)
+        self.active = np.zeros((S,), bool)
+
+        self._compiled_prefill = {}
+        self._compiled_decode = None
+
+    # ------------------------------------------------------------------ api
+
+    def add_request(self, prompt: List[int],
+                    params: Optional[SamplingParams] = None) -> int:
+        req = Request(self.next_id, list(prompt),
+                      params or SamplingParams(), t_arrival=time.time())
+        self.next_id += 1
+        self.waiting.append(req)
+        return req.req_id
+
+    def has_work(self) -> bool:
+        return bool(self.waiting) or bool(self.slot_req)
+
+    # ------------------------------------------------------- step functions
+
+    def _prefill_fn(self, bucket: int):
+        if bucket in self._compiled_prefill:
+            return self._compiled_prefill[bucket]
+
+        if self.is_hymeta:
+            def fn(params, meta, cache, tokens, slot, pos0, n_valid):
+                return self.model.prefill(self.cfg, params, meta, cache,
+                                          tokens, slot, pos0, n_valid)
+            jfn = jax.jit(fn, donate_argnums=(2,))
+        else:
+            def fn(params, meta, cache, tokens, slot, pos0, n_valid):
+                return self.model.prefill(self.cfg, params, cache,
+                                          tokens, slot, pos0, n_valid)
+            jfn = jax.jit(fn, donate_argnums=(2,))
+        self._compiled_prefill[bucket] = jfn
+        return jfn
+
+    def _decode_fn(self):
+        if self._compiled_decode is not None:
+            return self._compiled_decode
+
+        def fn(params, meta, cache, samp, tokens, positions, active, key):
+            if self.is_hymeta:
+                logits, cache = self.model.decode(
+                    self.cfg, params, meta, cache, tokens, positions, active)
+            else:
+                logits, cache = self.model.decode(
+                    self.cfg, params, cache, tokens, positions, active)
+            logits = logits.astype(jnp.float32)
+            logits = sampler_lib.apply_repetition_penalty(
+                logits, samp["seen"], samp["rep_penalty"])
+            ids = sampler_lib.sample(
+                logits, key, samp["temperature"], samp["top_k"],
+                samp["top_p"])
+            samp = dict(samp)
+            samp["seen"] = samp["seen"].at[jnp.arange(ids.shape[0]), ids].set(
+                jnp.where(active, True,
+                          samp["seen"][jnp.arange(ids.shape[0]), ids]))
+            return ids, cache, samp
+
+        self._compiled_decode = jax.jit(fn, donate_argnums=(2, 3))
+        return self._compiled_decode
+
+    # ---------------------------------------------------------- scheduling
+
+    def _bucket_for(self, n: int) -> int:
+        for b in self.ecfg.prefill_buckets:
+            if n <= b:
+                return b
+        return self.ecfg.prefill_buckets[-1]
+
+    def _start_request(self, req: Request):
+        slot = self.free_slots.popleft()
+        req.slot = slot
+        self.slot_req[slot] = req
+        self.positions[slot] = 0
+        # clear slot state (new-prefill semantics) + seed 70B GLA state
+        self.cache = cache_lib.clear_slot(self.cache, slot)
+        if self.is_hymeta:
+            layers = []
+            for i, lc in enumerate(self.cache["layers"]):
+                lc = dict(lc)
+                lc["state"] = lc["state"].at[slot].set(
+                    self.meta["state"][i].astype(lc["state"].dtype))
+                layers.append(lc)
+            self.cache = {**self.cache, "layers": layers}
+        # sampling state
+        p = req.params
+        s = self.samp_state
+        self.samp_state = {
+            "temperature": s["temperature"].at[slot].set(p.temperature),
+            "top_k": s["top_k"].at[slot].set(p.top_k),
+            "top_p": s["top_p"].at[slot].set(p.top_p),
+            "rep_penalty": s["rep_penalty"].at[slot].set(
+                p.repetition_penalty),
+            "seen": s["seen"].at[slot].set(False),
+        }
+
+    def _finish(self, req: Request, reason: str):
+        req.finished = True
+        req.finish_reason = reason
+        self.active[req.slot] = False
+        self.free_slots.append(req.slot)
+        del self.slot_req[req.slot]
+
+    def step(self) -> List[Request]:
+        """Run one engine step; returns requests finished during it."""
+        finished = []
+
+        # admit new requests
+        while self.waiting and self.free_slots:
+            req = self.waiting.popleft()
+            if len(req.prompt) > self.ecfg.max_model_len:
+                req.finished = True
+                req.finish_reason = "length_exceeded"
+                finished.append(req)
+                continue
+            self._start_request(req)
+
+        # pick a request with pending prefill work
+        pre = next((r for r in self.slot_req.values()
+                    if r.prefill_done < len(r.prompt)), None)
+        if pre is not None:
+            n_left = len(pre.prompt) - pre.prefill_done
+            n = min(n_left, self.ecfg.prefill_chunk)
+            bucket = self._bucket_for(n)
+            toks = pre.prompt[pre.prefill_done:pre.prefill_done + n]
+            tokens = np.zeros((bucket,), np.int32)
+            tokens[:n] = toks
+            fn = self._prefill_fn(bucket)
+            logits, self.cache = fn(
+                self.params, self.meta, self.cache,
+                jnp.asarray(tokens), jnp.int32(pre.slot),
+                jnp.int32(pre.prefill_done), jnp.int32(n))
+            pre.prefill_done += n
+            self.positions[pre.slot] = pre.prefill_done
+            if pre.prefill_done >= len(pre.prompt):
+                # sample the first generated token from prefill logits
+                self.rng, k = jax.random.split(self.rng)
+                logits = logits.astype(jnp.float32)[None]
+                s = self.samp_state
+                slot = pre.slot
+                logits = sampler_lib.apply_repetition_penalty(
+                    logits, s["seen"][slot][None],
+                    s["rep_penalty"][slot][None])
+                tok = int(sampler_lib.sample(
+                    logits, k, s["temperature"][slot][None],
+                    s["top_k"][slot][None], s["top_p"][slot][None])[0])
+                self._emit(pre, tok, finished)
+                if not pre.finished:
+                    self.active[pre.slot] = True
+            return finished
+
+        # decode step for all active slots
+        if not any(self.active):
+            return finished
+        S = self.ecfg.max_num_seqs
+        tokens = np.zeros((S,), np.int32)
+        for slot, req in self.slot_req.items():
+            if self.active[slot]:
+                tokens[slot] = req.output[-1]
+        self.rng, k = jax.random.split(self.rng)
+        fn = self._decode_fn()
+        ids, self.cache, self.samp_state = fn(
+            self.params, self.meta, self.cache, self.samp_state,
+            jnp.asarray(tokens), jnp.asarray(self.positions.astype(np.int32)),
+            jnp.asarray(self.active), k)
+        ids = np.asarray(ids)
+        for slot in list(self.slot_req):
+            req = self.slot_req[slot]
+            if not self.active[slot]:
+                continue
+            self.positions[slot] += 1
+            self._emit(req, int(ids[slot]), finished)
+        return finished
+
+    def _emit(self, req: Request, tok: int, finished: List[Request]):
+        if req.t_first_token is None:
+            req.t_first_token = time.time()
+        req.output.append(tok)
+        stop = False
+        if (not req.params.ignore_eos) and tok == self.cfg.eos_token_id:
+            stop, reason = True, "stop"
+        elif len(req.output) >= req.params.max_tokens:
+            stop, reason = True, "length"
+        elif self.positions[req.slot] + 1 >= self.ecfg.max_model_len:
+            stop, reason = True, "length"
+        if stop:
+            self._finish(req, reason)
+            finished.append(req)
+
+    # ----------------------------------------------------------- generate
+
+    def generate(self, prompts: List[List[int]],
+                 params: Optional[SamplingParams] = None
+                 ) -> List[Request]:
+        ids = [self.add_request(p, params) for p in prompts]
+        done: Dict[int, Request] = {}
+        while self.has_work():
+            for r in self.step():
+                done[r.req_id] = r
+        return [done[i] for i in ids]

@@ -1,0 +1,76 @@
+"""Token sampling: greedy / temperature / top-k / top-p / repetition
+penalty — the engine-side replacement for vLLM's sampler that the reference
+relies on (`modeling_hymeta.py:43`, bench scripts pass temperature/top-p/
+repetition_penalty: `bench/speed_vllm.py:41-148`).
+
+Static-shape, jit-friendly: one fused function over the slot batch with
+per-slot parameters.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass
+class SamplingParams:
+    temperature: float = 1.0
+    top_k: int = 0            # 0 = off
+    top_p: float = 1.0
+    repetition_penalty: float = 1.0
+    max_tokens: int = 128
+    ignore_eos: bool = False
+    greedy: Optional[bool] = None  # None => greedy iff temperature == 0
+
+    def is_greedy(self) -> bool:
+        if self.greedy is not None:
+            return self.greedy
+        return self.temperature == 0.0
+
+
+def apply_repetition_penalty(logits: jax.Array, seen_mask: jax.Array,
+                             penalty: jax.Array) -> jax.Array:
+    """HF-style: seen tokens' logits divided by p if > 0 else multiplied.
+
+    logits [S, V] fp32; seen_mask [S, V] bool; penalty [S] fp32.
+    """
+    p = penalty[:, None]
+    scaled = jnp.where(logits > 0, logits / p, logits * p)
+    return jnp.where(seen_mask, scaled, logits)
+
+
+def sample(logits: jax.Array,        # [S, V] fp32
+           key: jax.Array,
+           temperature: jax.Array,   # [S]
+           top_k: jax.Array,         # [S] int32 (0 = off)
+           top_p: jax.Array,         # [S]
+           ) -> jax.Array:
+    """Returns sampled token ids [S].  temperature<=0 rows sample greedily."""
+    S, V = logits.shape
+    greedy_ids = jnp.argmax(logits, axis=-1)
+
+    t = jnp.maximum(temperature, 1e-6)[:, None]
+    scaled = logits / t
+
+    # top-k: mask everything below the k-th logit
+    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+    k_idx = jnp.clip(jnp.where(top_k > 0, top_k, V) - 1, 0, V - 1)
+    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+    scaled = jnp.where(scaled < kth, NEG_INF, scaled)
+
+    # top-p (nucleus) on the surviving distribution
+    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
+    cum = jnp.cumsum(probs_sorted, axis=-1)
+    cutoff_rank = jnp.sum(cum < top_p[:, None], axis=-1)  # keep ranks <= this
+    pth = jnp.take_along_axis(
+        sorted_desc, jnp.clip(cutoff_rank, 0, V - 1)[:, None], axis=-1)
+    scaled = jnp.where(scaled < pth, NEG_INF, scaled)
+
+    sampled = jax.random.categorical(key, scaled, axis=-1)
+    return jnp.where(temperature <= 0.0, greedy_ids, sampled)

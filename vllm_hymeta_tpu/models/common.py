@@ -1,0 +1,77 @@
+"""Pieces shared by both model families: projections, ring-context
+assembly, parameter initializers."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_hymeta_tpu.models.layers import linear
+from vllm_hymeta_tpu.ops import naive
+from vllm_hymeta_tpu.ops.swa import INVALID_POS
+from vllm_hymeta_tpu import cache as cache_lib
+
+
+def split_heads(x: jax.Array, n_heads: int) -> jax.Array:
+    """[..., T, H*D] -> [..., T, H, D]"""
+    return x.reshape(*x.shape[:-1], n_heads, x.shape[-1] // n_heads)
+
+
+def merge_heads(x: jax.Array) -> jax.Array:
+    return x.reshape(*x.shape[:-2], x.shape[-2] * x.shape[-1])
+
+
+def project_qkv(p: dict, x: jax.Array, n_heads: int, n_kv_heads: int,
+                head_dim: int):
+    q = split_heads(linear(p["q_proj"], x), n_heads)
+    k = split_heads(linear(p["k_proj"], x), n_kv_heads)
+    v = split_heads(linear(p["v_proj"], x), n_kv_heads)
+    return q, k, v
+
+
+def repeat_kv_heads(x: jax.Array, rep: int) -> jax.Array:
+    """GQA repeat along the heads axis (torch repeat_interleave semantics,
+    `hf_model/linear_attention.py:24-33`). x: [..., Hkv, D]."""
+    if rep == 1:
+        return x
+    return jnp.repeat(x, rep, axis=-2)
+
+
+def gather_ring_context(
+    layer_cache: dict, slot: jax.Array, pos0: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Read a slot's ring in ascending-position order for chunked prefill.
+
+    Returns (k [R, Hkv, D], v [R, Hkv, D], k_pos [R]) where entry i holds
+    timeline position pos0 - R + i (INVALID_POS when that position was
+    never written, i.e. < 0).
+    """
+    kc, vc = cache_lib.kv_entry(layer_cache)
+    S, Hkv, R, D = kc.shape
+    k_pos = pos0 - R + jnp.arange(R, dtype=jnp.int32)
+    idx = jnp.mod(k_pos, R)
+    k = jnp.swapaxes(kc[slot][:, idx, :], 0, 1)  # [R, Hkv, D]
+    v = jnp.swapaxes(vc[slot][:, idx, :], 0, 1)
+    k_pos = jnp.where(k_pos >= 0, k_pos, INVALID_POS)
+    return k, v, k_pos
+
+
+def init_linear(key, d_in: int, d_out: int, bias: bool, dtype,
+                std: float = 0.02) -> dict:
+    k1, _ = jax.random.split(key)
+    p = {"w": (jax.random.normal(k1, (d_in, d_out), jnp.float32)
+               * std).astype(dtype)}
+    if bias:
+        p["b"] = jnp.zeros((d_out,), dtype)
+    return p
+
+
+def init_glu(key, h: int, inter: int, dtype) -> dict:
+    k1, k2, k3 = jax.random.split(key, 3)
+    return {
+        "gate_proj": init_linear(k1, h, inter, False, dtype),
+        "up_proj": init_linear(k2, h, inter, False, dtype),
+        "down_proj": init_linear(k3, inter, h, False, dtype),
+    }

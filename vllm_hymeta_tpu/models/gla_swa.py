@@ -1,0 +1,274 @@
+"""Hymeta-7B "GLAswa": inter-layer hybrid — odd layers sliding-window
+softmax attention, even layers gated linear attention.
+
+Semantics references:
+  * layer alternation: `model_for_7B/configuration_gla_swa.py:66-68`
+  * SWA layer: `hf_7B_model/window_attention.py:94-222` (FA2 window (W,0),
+    i.e. a query attends q_pos - k_pos <= W)
+  * GLA layer: `hf_7B_model/gla_attention.py:36-190` (relu feature maps,
+    low-rank gate gk_proj -> logsigmoid/16, per-head g_norm RMSNorm)
+  * block wiring: `hf_7B_model/modeling_gla_swa.py:57-125` (attn_norm ->
+    attn -> fused mlp_norm(residual) -> GLU -> residual)
+
+Three execution modes over the same parameters:
+  forward_full — whole sequences, no cache (golden/numerics path)
+  prefill      — one request chunk, kernel attention, cache writes
+  decode       — one token for each active slot, ring/state caches
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_hymeta_tpu import cache as cache_lib
+from vllm_hymeta_tpu.config import GLAswaConfig
+from vllm_hymeta_tpu.models import common
+from vllm_hymeta_tpu.models.layers import embed, glu_mlp, linear, lm_head
+from vllm_hymeta_tpu.ops import gla_chunk, naive, swa
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: GLAswaConfig, key: jax.Array,
+                dtype=jnp.bfloat16) -> dict:
+    h, D = cfg.hidden_size, cfg.head_dim
+    kvd = cfg.num_key_value_heads * D
+    keys = iter(jax.random.split(key, 8 * cfg.num_hidden_layers + 8))
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        lp = {
+            "attn_norm": {"w": jnp.ones((h,), dtype)},
+            "mlp_norm": {"w": jnp.ones((h,), dtype)},
+            "mlp": common.init_glu(next(keys), h, cfg.intermediate_size,
+                                   dtype),
+        }
+        attn = {
+            "q_proj": common.init_linear(next(keys), h, h, True, dtype),
+            "k_proj": common.init_linear(next(keys), h, kvd, True, dtype),
+            "v_proj": common.init_linear(next(keys), h, kvd, True, dtype),
+            "o_proj": common.init_linear(next(keys), h, h, False, dtype),
+        }
+        if not cfg.is_swa_layer(i):
+            # low-rank gate: Linear(h,16,bias=F) -> Linear(16,kvd,bias=T)
+            # (`hf_7B_model/gla_attention.py:82-83`)
+            attn["gk_a"] = common.init_linear(
+                next(keys), h, cfg.gate_low_rank_dim, False, dtype)
+            attn["gk_b"] = common.init_linear(
+                next(keys), cfg.gate_low_rank_dim, kvd, True, dtype)
+            attn["g_norm"] = {"w": jnp.ones((D,), dtype)}
+        lp["attn"] = attn
+        layers.append(lp)
+    return {
+        "embed": {"w": (jax.random.normal(
+            next(keys), (cfg.vocab_size, h), jnp.float32) * 0.02
+        ).astype(dtype)},
+        "layers": layers,
+        "final_norm": {"w": jnp.ones((h,), dtype)},
+        "lm_head": {"w": (jax.random.normal(
+            next(keys), (h, cfg.vocab_size), jnp.float32) * 0.02
+        ).astype(dtype)},
+    }
+
+
+def init_cache(cfg: GLAswaConfig, cc: cache_lib.CacheConfig) -> dict:
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        if cfg.is_swa_layer(i):
+            layers.append(cache_lib.init_layer_kv(
+                cc, cfg.num_key_value_heads, cfg.head_dim, cfg.window_keys))
+        else:
+            layers.append(cache_lib.init_layer_state(
+                cc, cfg.num_attention_heads, cfg.head_dim))
+    return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# layer pieces
+# ---------------------------------------------------------------------------
+
+def _gla_qkvg(cfg: GLAswaConfig, ap: dict, x: jax.Array):
+    """Project + feature-map + gates for a GLA layer.
+    x: [..., T, h] -> q,k [..., T, H, D], v likewise, g fp32."""
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    q, k, v = common.project_qkv(ap, x, H, Hkv, D)
+    gk = common.split_heads(linear(ap["gk_b"], linear(ap["gk_a"], x)), Hkv)
+    rep = H // Hkv
+    k = common.repeat_kv_heads(k, rep)
+    v = common.repeat_kv_heads(v, rep)
+    gk = common.repeat_kv_heads(gk, rep)
+    q, k, g = naive.glaswa_gates(q, k, gk, cfg.gate_logit_normalizer)
+    return q, k, v, g
+
+
+def _gla_out(cfg: GLAswaConfig, ap: dict, o: jax.Array) -> jax.Array:
+    """Per-head g_norm then output projection
+    (`hf_7B_model/gla_attention.py:170-171`). o: [..., T, H, D]."""
+    o = naive.rms_norm(o, ap["g_norm"]["w"], cfg.norm_eps)
+    return linear(ap["o_proj"], common.merge_heads(o))
+
+
+def _swa_rope(cfg: GLAswaConfig, q, k, positions):
+    cos, sin = naive.rope_cos_sin(positions, cfg.head_dim, cfg.rope_theta)
+    return naive.apply_rope(q, cos, sin), naive.apply_rope(k, cos, sin)
+
+
+# ---------------------------------------------------------------------------
+# full forward (golden path, no cache)
+# ---------------------------------------------------------------------------
+
+def forward_full(cfg: GLAswaConfig, params: dict, tokens: jax.Array,
+                 positions: Optional[jax.Array] = None) -> jax.Array:
+    """tokens [B, T] -> logits [B, T, V] (fp32). Naive attention ops."""
+    B, T = tokens.shape
+    if positions is None:
+        positions = jnp.arange(T, dtype=jnp.int32)[None].repeat(B, 0)
+    x = embed(params["embed"], tokens)
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        if cfg.is_swa_layer(i):
+            H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                         cfg.head_dim)
+            q, k, v = common.project_qkv(ap, y, H, Hkv, D)
+            q, k = _swa_rope(cfg, q, k, positions)
+            out, _ = naive.swa_attention(
+                q, k, v, positions[0], positions[0], cfg.sliding_window,
+                cfg.inclusive_window)
+            att = linear(ap["o_proj"],
+                         common.merge_heads(out.astype(y.dtype)))
+        else:
+            q, k, v, g = _gla_qkvg(cfg, ap, y)
+            o, _ = gla_chunk.gla_chunked(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))
+            att = _gla_out(cfg, ap, o.transpose(0, 2, 1, 3))
+        y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                         cfg.norm_eps)
+        x = res + glu_mlp(lp["mlp"], y)
+    x = naive.rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
+    return lm_head(params["lm_head"], x)
+
+
+# ---------------------------------------------------------------------------
+# prefill (single request chunk; cache in/out)
+# ---------------------------------------------------------------------------
+
+def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
+            tokens: jax.Array,     # [T] (padded)
+            slot: jax.Array,       # scalar int32
+            pos0: jax.Array,       # scalar int32: first token's position
+            n_valid: jax.Array,    # scalar int32: valid token count
+            ) -> Tuple[jax.Array, dict]:
+    """Process one prompt chunk for `slot`; returns (last-token logits [V],
+    updated cache).  The engine clears slot state before the first chunk."""
+    T = tokens.shape[0]
+    positions = pos0 + jnp.arange(T, dtype=jnp.int32)
+    valid = jnp.arange(T) < n_valid
+    x = embed(params["embed"], tokens)
+
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        if cfg.is_swa_layer(i):
+            H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                         cfg.head_dim)
+            q, k, v = common.project_qkv(ap, y[None], H, Hkv, D)
+            q, k = _swa_rope(cfg, q, k, positions[None])
+            q, k, v = q[0], k[0], v[0]
+            ctx_k, ctx_v, ctx_pos = common.gather_ring_context(
+                lc, slot, pos0)
+            R = ctx_k.shape[0]
+            k_all = jnp.concatenate([ctx_k, k], axis=0)
+            v_all = jnp.concatenate([ctx_v, v], axis=0)
+            kp_all = jnp.concatenate(
+                [ctx_pos, jnp.where(valid, positions, swa.INVALID_POS)])
+            qp = jnp.where(valid, positions, swa.INVALID_POS)
+            out, _ = swa.flash_window_prefill(
+                q, k_all, v_all, qp, kp_all, cfg.window_keys, ctx_len=R)
+            att = linear(ap["o_proj"], common.merge_heads(out))
+            lc = cache_lib.write_prefill_kv(lc, slot, k, v, positions,
+                                            valid)
+        else:
+            q, k, v, g = _gla_qkvg(cfg, ap, y)
+            # identity updates on padded rows: k=v=0, g=0
+            k = jnp.where(valid[:, None, None], k, 0.0)
+            v = jnp.where(valid[:, None, None], v, 0.0)
+            g = jnp.where(valid[:, None, None], g, 0.0)
+            S0 = lc["state"][slot][None].astype(jnp.float32)
+            o, S = gla_chunk.gla_chunked(
+                q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
+                v.transpose(1, 0, 2)[None], g.transpose(1, 0, 2)[None],
+                initial_state=S0)
+            att = _gla_out(cfg, ap, o[0].transpose(1, 0, 2))
+            lc = {"state": lc["state"].at[slot].set(
+                S[0].astype(lc["state"].dtype))}
+        new_layers.append(lc)
+        y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                         cfg.norm_eps)
+        x = res + glu_mlp(lp["mlp"], y)
+
+    x_last = x[n_valid - 1]
+    x_last = naive.rms_norm(x_last, params["final_norm"]["w"], cfg.norm_eps)
+    logits = lm_head(params["lm_head"], x_last)
+    return logits, {"layers": new_layers}
+
+
+# ---------------------------------------------------------------------------
+# decode (one token per active slot)
+# ---------------------------------------------------------------------------
+
+def decode(cfg: GLAswaConfig, params: dict, cache: dict,
+           tokens: jax.Array,      # [S]
+           positions: jax.Array,   # [S] position of the new token
+           active: jax.Array,      # [S] bool
+           ) -> Tuple[jax.Array, dict]:
+    """One decode step for the whole slot batch; returns (logits [S, V],
+    updated cache)."""
+    S = tokens.shape[0]
+    x = embed(params["embed"], tokens)  # [S, h]
+
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        if cfg.is_swa_layer(i):
+            H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                         cfg.head_dim)
+            # treat the slot batch as a length-S "sequence" of independent rows
+            q, k, v = common.project_qkv(ap, y, H, Hkv, D)  # [S, H, D]
+            cos, sin = naive.rope_cos_sin(positions, D, cfg.rope_theta)
+            q = naive.apply_rope(q, cos, sin)
+            k = naive.apply_rope(k, cos, sin)
+            lc = cache_lib.write_decode_kv(lc, k, v, positions, active)
+            rk, rv = cache_lib.kv_entry(lc)
+            out, _ = swa.swa_decode(q, rk, rv, positions, cfg.window_keys)
+            att = linear(ap["o_proj"],
+                         common.merge_heads(out.astype(y.dtype)))
+        else:
+            q, k, v, g = _gla_qkvg(cfg, ap, y)  # [S, H, D]
+            S_old = lc["state"].astype(jnp.float32)
+            o, S_new = naive.gla_decode_step(q, k, v, g, S_old)
+            S_new = jnp.where(active[:, None, None, None], S_new, S_old)
+            o = jnp.where(active[:, None, None], o, 0.0)
+            att = _gla_out(cfg, ap, o)
+            lc = {"state": S_new.astype(lc["state"].dtype)}
+        new_layers.append(lc)
+        y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                         cfg.norm_eps)
+        x = res + glu_mlp(lp["mlp"], y)
+
+    x = naive.rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
+    logits = lm_head(params["lm_head"], x)
+    return logits, {"layers": new_layers}

@@ -1,0 +1,447 @@
+"""Hymeta-70B ("hybrid"): every layer is an intra-layer hybrid — a
+sliding-window softmax branch with 128 global metatokens AND a gated linear
+attention branch over the same normalized input, RMS-normed and averaged —
+with MoE(16, top-1) + shared-MLP FFNs on most layers.
+
+Semantics references:
+  * hybrid average: `hf_model/modeling_hymeta.py:127-128`
+    ((norm1(attn) + norm2(linear)) / 2 -> out_proj)
+  * SWA branch + metatoken split/caching: `hf_model/attention.py:97-263`,
+    serving two-pass LSE merge `attention/fa_kernel_metatoken.py:140-298`
+  * GLA branch gates/lower bounds: `hf_model/linear_attention.py:143-157`,
+    `modeling_hymeta.py:611-629`
+  * lower-bound schedule: softmax(0).cumsum(0) - lb[0]
+    (`hf_model/modeling_hymeta.py:339-341`)
+  * metatokens prepended, positions offset by num_meta_tokens
+    (`hf_model/modeling_hymeta.py:313-316`, `modeling_hymeta.py:1313-1323`)
+  * MoE + shared MLP: `hf_model/moe.py:34-102`,
+    `hf_model/modeling_hymeta.py:190-198`
+  * fp32 LM head: `modeling_hymeta.py:1413-1429,1459-1469`
+
+TPU-first deviation: the metatoken state is input-independent (metatokens
+attend only to themselves in both branches), so `precompute_meta` runs the
+metatoken-only forward once after weight loading and caches per layer the
+GLA state [H, Dk, Dv] and the SWA K/V [M, Hkv, D].  This replaces the
+reference's warm-up threshold hacks (`modeling_hymeta.py:1160-1164`) and
+per-prefill recomputation (`modeling_hymeta.py:444-467`) with an exact,
+one-time computation.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from vllm_hymeta_tpu import cache as cache_lib
+from vllm_hymeta_tpu.config import HymetaConfig
+from vllm_hymeta_tpu.models import common
+from vllm_hymeta_tpu.models.layers import (embed, glu_mlp, linear, lm_head,
+                                           moe_block, moe_block_grouped)
+from vllm_hymeta_tpu.ops import gla_chunk, naive, swa
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+def init_params(cfg: HymetaConfig, key: jax.Array,
+                dtype=jnp.bfloat16) -> dict:
+    h, D = cfg.hidden_size, cfg.head_dim
+    kvd = cfg.num_key_value_heads * D
+    E = cfg.num_local_experts
+    keys = iter(jax.random.split(key, 16 * cfg.num_hidden_layers + 8))
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        attn = {
+            "swa": {
+                "q_proj": common.init_linear(next(keys), h, h, True, dtype),
+                "k_proj": common.init_linear(next(keys), h, kvd, True, dtype),
+                "v_proj": common.init_linear(next(keys), h, kvd, True, dtype),
+            },
+            "gla": {
+                "q_proj": common.init_linear(next(keys), h, h, True, dtype),
+                "k_proj": common.init_linear(next(keys), h, kvd, True, dtype),
+                "v_proj": common.init_linear(next(keys), h, kvd, True, dtype),
+            },
+            "norm1": {"w": jnp.ones((h,), dtype)},
+            "norm2": {"w": jnp.ones((h,), dtype)},
+            "out_proj": common.init_linear(next(keys), h, h, False, dtype),
+        }
+        lp = {
+            "attn_norm": {"w": jnp.ones((h,), dtype)},
+            "mlp_norm": {"w": jnp.ones((h,), dtype)},
+            "attn": attn,
+        }
+        if cfg.is_dense_mlp_layer(i):
+            lp["mlp"] = common.init_glu(next(keys), h,
+                                        cfg.intermediate_size, dtype)
+        else:
+            ke = jax.random.split(next(keys), 3)
+            lp["moe"] = {
+                "gate": common.init_linear(next(keys), h, E, False, dtype),
+                "experts": {
+                    "gate_proj": (jax.random.normal(
+                        ke[0], (E, h, cfg.intermediate_size), jnp.float32)
+                        * 0.02).astype(dtype),
+                    "up_proj": (jax.random.normal(
+                        ke[1], (E, h, cfg.intermediate_size), jnp.float32)
+                        * 0.02).astype(dtype),
+                    "down_proj": (jax.random.normal(
+                        ke[2], (E, cfg.intermediate_size, h), jnp.float32)
+                        * 0.02).astype(dtype),
+                },
+            }
+            if cfg.shared_intermediate_size > 0:
+                lp["shared_mlp"] = common.init_glu(
+                    next(keys), h, cfg.shared_intermediate_size, dtype)
+        layers.append(lp)
+
+    params = {
+        "embed": {"w": (jax.random.normal(
+            next(keys), (cfg.vocab_size, h), jnp.float32) * 0.02
+        ).astype(dtype)},
+        "layers": layers,
+        "final_norm": {"w": jnp.ones((h,), dtype)},
+        # fp32 LM head (`modeling_hymeta.py:1413-1429`)
+        "lm_head": {"w": jax.random.normal(
+            next(keys), (h, cfg.vocab_size), jnp.float32) * 0.02},
+        "meta_tokens": (jax.random.normal(
+            next(keys), (cfg.num_meta_tokens, h), jnp.float32)).astype(dtype),
+    }
+    if cfg.use_lower_bound:
+        params["lower_bounds"] = jnp.zeros(
+            (cfg.num_hidden_layers, h), jnp.float32)
+    return params
+
+
+def init_cache(cfg: HymetaConfig, cc: cache_lib.CacheConfig) -> dict:
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        lc = cache_lib.init_layer_kv(
+            cc, cfg.num_key_value_heads, cfg.head_dim,
+            0 if cfg.is_full_attn_layer(i) else cfg.window_keys)
+        lc.update(cache_lib.init_layer_state(
+            cc, cfg.num_attention_heads, cfg.head_dim))
+        layers.append(lc)
+    return {"layers": layers}
+
+
+# ---------------------------------------------------------------------------
+# shared pieces
+# ---------------------------------------------------------------------------
+
+def lower_bound_table(cfg: HymetaConfig,
+                      params: dict) -> Optional[jax.Array]:
+    """lbs = softmax(raw, axis=0).cumsum(0) - lbs[0]
+    (`hf_model/modeling_hymeta.py:339-341`)."""
+    if not cfg.use_lower_bound:
+        return None
+    raw = params["lower_bounds"].astype(jnp.float32)
+    sm = jax.nn.softmax(raw, axis=0)
+    return jnp.cumsum(sm, axis=0) - sm[0]
+
+
+def _layer_lower_bound(cfg: HymetaConfig, lbs: Optional[jax.Array],
+                       i: int) -> Optional[jax.Array]:
+    """Per-layer lower bound reshaped to [H, D], or None where disabled."""
+    if lbs is None or cfg.lower_bound_disabled(i):
+        return None
+    lb = lbs[cfg.lower_bound_index(i)]
+    return lb.reshape(cfg.num_attention_heads, cfg.head_dim)
+
+
+def _gla_qkvg(cfg: HymetaConfig, gp: dict, x: jax.Array,
+              lower_bound: Optional[jax.Array]):
+    """70B GLA branch projections + gates. x: [..., T, h]."""
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    q, k, v = common.project_qkv(gp, x, H, Hkv, D)
+    rep = H // Hkv
+    k = common.repeat_kv_heads(k, rep)
+    v = common.repeat_kv_heads(v, rep)
+    q, k, g = naive.hymeta_gates(q, k, lower_bound, cfg.clamp_max)
+    return q, k.astype(v.dtype), v, g
+
+
+def _ffn(cfg: HymetaConfig, lp: dict, x: jax.Array,
+         grouped_moe: bool = True) -> jax.Array:
+    """Dense GLU or MoE + shared MLP (`hf_model/modeling_hymeta.py:190-198`)."""
+    if "mlp" in lp:
+        return glu_mlp(lp["mlp"], x)
+    shape = x.shape
+    flat = x.reshape(-1, shape[-1])
+    fn = moe_block_grouped if grouped_moe else moe_block
+    y = fn(lp["moe"], flat, cfg.num_experts_per_topk, cfg.moe_renormalize)
+    y = y.reshape(shape)
+    if "shared_mlp" in lp:
+        y = y + glu_mlp(lp["shared_mlp"], x)
+    return y
+
+
+# ---------------------------------------------------------------------------
+# metatoken precompute
+# ---------------------------------------------------------------------------
+
+def precompute_meta(cfg: HymetaConfig, params: dict) -> dict:
+    """Run the metatoken-only forward once; cache per layer the SWA K/V
+    (post-RoPE, positions 0..M-1) and the GLA final state.
+
+    Exact because metatokens never attend to real tokens in either branch
+    (`fa_kernel_metatoken.py:455-456`: meta queries see only meta keys; GLA
+    is causal and metatokens come first).  Replaces the per-run meta cache
+    computation at `modeling_hymeta.py:444-467` / meta split at `:774-792`.
+    """
+    M = cfg.num_meta_tokens
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    lbs = lower_bound_table(cfg, params)
+    x = params["meta_tokens"].astype(params["embed"]["w"].dtype)  # [M, h]
+    positions = jnp.arange(M, dtype=jnp.int32)
+
+    meta = {"k": [], "v": [], "state": []}
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+
+        # SWA branch on metatokens: RoPE then self-only non-causal attention
+        q, k, v = common.project_qkv(ap["swa"], y[None], H, Hkv, D)
+        cos, sin = naive.rope_cos_sin(positions[None], D, cfg.rope_theta)
+        q = naive.apply_rope(q, cos, sin)
+        k = naive.apply_rope(k, cos, sin)
+        meta['k'].append(k[0])
+        meta['v'].append(v[0])
+        # meta queries attend ALL metatokens non-causally
+        # (`fa_kernel_metatoken.py:455-456`)
+        out, _ = swa.flash_window_prefill_ref(
+            q[0], k[0], v[0], positions, positions, 0, mask_mode="all")
+        swa_out = out.astype(y.dtype)[None]
+
+        # GLA branch from zero state
+        lb = _layer_lower_bound(cfg, lbs, i)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y[None], lb)
+        o, S = gla_chunk.gla_chunked(
+            qg.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
+            vg.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))
+        meta["state"].append(S[0])
+        gla_out = o[0].transpose(1, 0, 2)[None]
+
+        att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out[0]),
+                            common.merge_heads(gla_out[0]))
+        y2, res = naive.rms_norm_residual(att, res,
+                                          lp["mlp_norm"]["w"], cfg.norm_eps)
+        x = res + _ffn(cfg, lp, y2, grouped_moe=False)
+
+    return {
+        "k": jnp.stack(meta["k"]),        # [L, M, Hkv, D]
+        "v": jnp.stack(meta["v"]),
+        "state": jnp.stack(meta["state"]),  # [L, H, Dk, Dv] fp32
+    }
+
+
+def _hybrid_merge(cfg: HymetaConfig, ap: dict, swa_out: jax.Array,
+                  gla_out: jax.Array) -> jax.Array:
+    """(norm1(attn) + norm2(linear)) / 2 -> out_proj
+    (`hf_model/modeling_hymeta.py:127-128`, `modeling_hymeta.py:909-920`).
+    swa_out/gla_out: [..., T, h] (heads already merged)."""
+    a = naive.rms_norm(swa_out, ap["norm1"]["w"], cfg.norm_eps)
+    b = naive.rms_norm(gla_out, ap["norm2"]["w"], cfg.norm_eps)
+    mixed = ((a.astype(jnp.float32) + b.astype(jnp.float32)) / 2
+             ).astype(swa_out.dtype)
+    return linear(ap["out_proj"], mixed)
+
+
+# ---------------------------------------------------------------------------
+# full forward (golden path; metatokens inline, exactly like HF)
+# ---------------------------------------------------------------------------
+
+def forward_full(cfg: HymetaConfig, params: dict,
+                 tokens: jax.Array) -> jax.Array:
+    """tokens [B, T] -> logits [B, T, V] fp32.  Prepends the metatokens and
+    strips them at the end (`hf_model/modeling_hymeta.py:313-316,384-385`)."""
+    B, T = tokens.shape
+    M = cfg.num_meta_tokens
+    lbs = lower_bound_table(cfg, params)
+    emb = embed(params["embed"], tokens)
+    meta = jnp.broadcast_to(
+        params["meta_tokens"].astype(emb.dtype)[None], (B, M, emb.shape[-1]))
+    x = jnp.concatenate([meta, emb], axis=1)
+    positions = jnp.arange(M + T, dtype=jnp.int32)
+
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+
+        # SWA branch with metatokens
+        q, k, v = common.project_qkv(ap["swa"], y, H, Hkv, D)
+        cos, sin = naive.rope_cos_sin(positions[None], D, cfg.rope_theta)
+        q = naive.apply_rope(q, cos, sin)
+        k = naive.apply_rope(k, cos, sin)
+        out, meta_out = naive.metatoken_swa_attention(
+            q[:, M:], k[:, M:], v[:, M:], k[0, :M], v[0, :M],
+            positions[M:], positions[M:], cfg.layer_window(i),
+            cfg.inclusive_window, meta_q=q[0, :M])
+        swa_out = jnp.concatenate(
+            [jnp.broadcast_to(meta_out[None], (B, M, H, D)), out], axis=1)
+
+        # GLA branch (metatokens are just the first M positions)
+        lb = _layer_lower_bound(cfg, lbs, i)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb)
+        o, _ = gla_chunk.gla_chunked(
+            qg.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
+            vg.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))
+        gla_out = o.transpose(0, 2, 1, 3)
+
+        att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
+                            common.merge_heads(gla_out))
+        y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                          cfg.norm_eps)
+        x = res + _ffn(cfg, lp, y2, grouped_moe=False)
+
+    x = naive.rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
+    x = x[:, M:]
+    return lm_head(params["lm_head"], x)
+
+
+# ---------------------------------------------------------------------------
+# prefill
+# ---------------------------------------------------------------------------
+
+def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
+            tokens: jax.Array, slot: jax.Array, pos0: jax.Array,
+            n_valid: jax.Array) -> Tuple[jax.Array, dict]:
+    """One prompt chunk for `slot` using the precomputed meta caches.
+
+    The engine must initialize the slot's GLA state to meta["state"] before
+    the first chunk (the reference seeds prefill with the meta linear cache:
+    `modeling_hymeta.py:486-504`).
+    """
+    T = tokens.shape[0]
+    M = cfg.num_meta_tokens
+    lbs = lower_bound_table(cfg, params)
+    positions = pos0 + jnp.arange(T, dtype=jnp.int32)
+    rope_pos = positions + M  # offset (`modeling_hymeta.py:1313-1323`)
+    valid = jnp.arange(T) < n_valid
+    x = embed(params["embed"], tokens)
+
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        window = cfg.layer_window(i)
+
+        # ---- SWA branch: windowed pass + metatoken pass, LSE merge
+        q, k, v = common.project_qkv(ap["swa"], y[None], H, Hkv, D)
+        cos, sin = naive.rope_cos_sin(rope_pos[None], D, cfg.rope_theta)
+        q = naive.apply_rope(q, cos, sin)[0]
+        k = naive.apply_rope(k, cos, sin)[0]
+        v = v[0]
+        ctx_k, ctx_v, ctx_pos = common.gather_ring_context(lc, slot, pos0)
+        R = ctx_k.shape[0]
+        k_all = jnp.concatenate([ctx_k, k], axis=0)
+        v_all = jnp.concatenate([ctx_v, v], axis=0)
+        qp = jnp.where(valid, positions, swa.INVALID_POS)
+        kp_all = jnp.concatenate([ctx_pos, qp])
+        out1, lse1 = swa.flash_window_prefill(
+            q, k_all, v_all, qp, kp_all, window, ctx_len=R,
+            mask_mode="window" if window > 0 else "causal")
+        out2, lse2 = swa.flash_window_prefill(
+            q, meta["k"][i], meta["v"][i],
+            qp, jnp.zeros((M,), jnp.int32), 0, mask_mode="all")
+        mo, _ = swa.merge_two(
+            jnp.swapaxes(out1, 0, 1).astype(jnp.float32), lse1,
+            jnp.swapaxes(out2, 0, 1).astype(jnp.float32), lse2)
+        swa_out = jnp.swapaxes(mo, 0, 1).astype(y.dtype)  # [T, H, D]
+        lc = cache_lib.write_prefill_kv(lc, slot, k, v, positions, valid)
+
+        # ---- GLA branch
+        lb = _layer_lower_bound(cfg, lbs, i)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb)
+        kg = jnp.where(valid[:, None, None], kg, 0.0)
+        vg = jnp.where(valid[:, None, None], vg, 0.0)
+        g = jnp.where(valid[:, None, None], g, 0.0)
+        S0 = lc["state"][slot][None].astype(jnp.float32)
+        o, S = gla_chunk.gla_chunked(
+            qg.transpose(1, 0, 2)[None], kg.transpose(1, 0, 2)[None],
+            vg.transpose(1, 0, 2)[None], g.transpose(1, 0, 2)[None],
+            initial_state=S0)
+        gla_out = o[0].transpose(1, 0, 2)
+        lc = dict(lc)
+        lc["state"] = lc["state"].at[slot].set(
+            S[0].astype(lc["state"].dtype))
+        new_layers.append(lc)
+
+        att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
+                            common.merge_heads(gla_out))
+        y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                          cfg.norm_eps)
+        x = res + _ffn(cfg, lp, y2)
+
+    x_last = x[n_valid - 1]
+    x_last = naive.rms_norm(x_last, params["final_norm"]["w"], cfg.norm_eps)
+    return lm_head(params["lm_head"], x_last), {"layers": new_layers}
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+def decode(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
+           tokens: jax.Array, positions: jax.Array, active: jax.Array
+           ) -> Tuple[jax.Array, dict]:
+    S = tokens.shape[0]
+    M = cfg.num_meta_tokens
+    lbs = lower_bound_table(cfg, params)
+    rope_pos = positions + M
+    x = embed(params["embed"], tokens)
+
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        window = cfg.layer_window(i)
+
+        # ---- SWA branch
+        q, k, v = common.project_qkv(ap["swa"], y, H, Hkv, D)  # [S,H,D]
+        cos, sin = naive.rope_cos_sin(rope_pos, D, cfg.rope_theta)
+        q = naive.apply_rope(q, cos, sin)
+        k = naive.apply_rope(k, cos, sin)
+        lc = cache_lib.write_decode_kv(lc, k, v, positions, active)
+        rk, rv = cache_lib.kv_entry(lc)
+        out1, lse1 = swa.swa_decode(q, rk, rv, positions, window)
+        out2, lse2 = swa.meta_decode(q, meta["k"][i], meta["v"][i])
+        mo, _ = swa.merge_two(out1, lse1, out2, lse2)
+        swa_out = mo.astype(y.dtype)
+
+        # ---- GLA branch
+        lb = _layer_lower_bound(cfg, lbs, i)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb)
+        S_old = lc["state"].astype(jnp.float32)
+        o, S_new = naive.gla_decode_step(qg, kg, vg, g, S_old)
+        S_new = jnp.where(active[:, None, None, None], S_new, S_old)
+        o = jnp.where(active[:, None, None], o, 0.0)
+        lc = dict(lc)
+        lc["state"] = S_new.astype(lc["state"].dtype)
+        new_layers.append(lc)
+
+        att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
+                            common.merge_heads(o.astype(y.dtype)))
+        y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                          cfg.norm_eps)
+        x = res + _ffn(cfg, lp, y2)
+
+    x = naive.rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
+    return lm_head(params["lm_head"], x), {"layers": new_layers}

@@ -1,0 +1,104 @@
+"""Shared layer primitives: linear (with quantized dispatch), embeddings,
+GLU MLP, MoE.
+
+Linears are parameter dicts:
+  bf16:  {"w": [in, out], "b"?: [out]}
+  gptq:  {"qw": int8 [in, out] (int4 stored as int8) or packed,
+          "scales": [in/g, out], "zeros": [in/g, out], "bits": ...}
+  w8a8:  {"qw": int8 [in, out], "w_scale": [out]}
+
+The quantized paths route to Pallas kernels (ops.quant_matmul); the bf16
+path is a plain jnp matmul that XLA maps onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from vllm_hymeta_tpu.ops import quant_matmul
+
+
+def linear(p: dict, x: jax.Array) -> jax.Array:
+    """y = x @ w (+ b). Dispatches on the parameter layout."""
+    if "qw" in p:
+        if "w_scale" in p:
+            y = quant_matmul.w8a8_matmul(x, p["qw"], p["w_scale"])
+        else:
+            y = quant_matmul.groupwise_dequant_matmul(
+                x, p["qw"], p["scales"], p["zeros"])
+    else:
+        y = jnp.dot(x, p["w"], preferred_element_type=x.dtype)
+    if "b" in p and p["b"] is not None:
+        y = y + p["b"].astype(y.dtype)
+    return y
+
+
+def embed(p: dict, ids: jax.Array) -> jax.Array:
+    return jnp.take(p["w"], ids, axis=0)
+
+
+def lm_head(p: dict, x: jax.Array) -> jax.Array:
+    """Final projection in fp32 (`modeling_hymeta.py:1413-1429,1459-1469`
+    upcasts hidden states and keeps the LM head in fp32)."""
+    return jnp.dot(
+        x.astype(jnp.float32), p["w"].astype(jnp.float32),
+        preferred_element_type=jnp.float32)
+
+
+def glu_mlp(p: dict, x: jax.Array) -> jax.Array:
+    """SwiGLU MLP: down(silu(gate(x)) * up(x)).
+
+    Reference: `hf_model/moe.py:9-29`, `hf_7B_model/modeling_gla_swa.py:33-54`.
+    """
+    g = linear(p["gate_proj"], x)
+    u = linear(p["up_proj"], x)
+    return linear(p["down_proj"], jax.nn.silu(g) * u)
+
+
+def moe_block(
+    p: dict,
+    x: jax.Array,            # [N, h]
+    top_k: int,
+    renormalize: bool,
+) -> jax.Array:
+    """Sparse MoE (dense-compute reference form, masked one-hot).
+
+    Semantics: `hf_model/moe.py:34-102` — router softmax in fp32, top-k,
+    optional renormalization (top-1 + renormalize => weight 1.0).  The
+    efficient grouped-GEMM path lives in ops.moe_gemm; this masked form is
+    the numerics spec and the small-batch fallback.
+    """
+    router_logits = jnp.dot(x, p["gate"]["w"],
+                            preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(probs, top_k)  # [N,k]
+    if renormalize:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+    E = p["experts"]["gate_proj"].shape[0]
+
+    # one-hot combine weights [N, E]
+    comb = jax.nn.one_hot(topi, E, dtype=jnp.float32) * topw[..., None]
+    comb = jnp.sum(comb, axis=1)  # [N, E]
+
+    wg, wu, wd = (p["experts"]["gate_proj"], p["experts"]["up_proj"],
+                  p["experts"]["down_proj"])
+    # dense loop over experts (E is small: 16); XLA fuses each branch
+    out = jnp.zeros(x.shape, jnp.float32)
+    for e in range(E):
+        g = jnp.dot(x, wg[e], preferred_element_type=jnp.float32)
+        u = jnp.dot(x, wu[e], preferred_element_type=jnp.float32)
+        h = jax.nn.silu(g) * u
+        o = jnp.dot(h.astype(x.dtype), wd[e],
+                    preferred_element_type=jnp.float32)
+        out = out + comb[:, e:e + 1] * o
+    return out.astype(x.dtype)
+
+
+def moe_block_grouped(p: dict, x: jax.Array, top_k: int,
+                      renormalize: bool) -> jax.Array:
+    """Efficient top-1 MoE via sort + ragged grouped GEMM (ops.moe_gemm)."""
+    from vllm_hymeta_tpu.ops import moe_gemm
+    return moe_gemm.moe_apply(p, x, top_k=top_k, renormalize=renormalize)

@@ -1,0 +1,53 @@
+"""Grouped expert GEMM for MoE — TPU-native replacement of vLLM's FusedMoE
+Triton/CUDA kernel (`modeling_hymeta.py:312-324`, SURVEY.md §2.8 N11).
+
+Strategy: sort token assignments by expert id and run `jax.lax.ragged_dot`
+(megablocks-style grouped matmul on the MXU), then scatter back.  All
+shapes static; the sort/gather/scatter are O(N log N) device ops.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def moe_apply(p: dict, x: jax.Array, top_k: int = 1,
+              renormalize: bool = True) -> jax.Array:
+    """x: [N, h]; expert weights p["experts"]: gate/up [E, h, I], down [E, I, h].
+
+    Routing semantics per `hf_model/moe.py:64-101` (softmax fp32 -> top-k ->
+    optional renormalize).
+    """
+    N, h = x.shape
+    wg = p["experts"]["gate_proj"]
+    wu = p["experts"]["up_proj"]
+    wd = p["experts"]["down_proj"]
+    E = wg.shape[0]
+
+    router_logits = jnp.dot(x, p["gate"]["w"],
+                            preferred_element_type=jnp.float32)
+    probs = jax.nn.softmax(router_logits.astype(jnp.float32), axis=-1)
+    topw, topi = jax.lax.top_k(probs, top_k)  # [N, k]
+    if renormalize:
+        topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
+
+    # flatten assignments and sort by expert
+    flat_e = topi.reshape(-1)                      # [N*k]
+    flat_w = topw.reshape(-1)
+    flat_tok = jnp.repeat(jnp.arange(N), top_k)    # token index per assignment
+    order = jnp.argsort(flat_e)                    # stable
+    e_sorted = flat_e[order]
+    tok_sorted = flat_tok[order]
+    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+
+    xs = x[tok_sorted]                             # [N*k, h] grouped by expert
+    hg = jax.lax.ragged_dot(xs, wg, group_sizes)
+    hu = jax.lax.ragged_dot(xs, wu, group_sizes)
+    inner = (jax.nn.silu(hg.astype(jnp.float32))
+             * hu.astype(jnp.float32)).astype(x.dtype)
+    y = jax.lax.ragged_dot(inner, wd, group_sizes)  # [N*k, h]
+
+    y = y.astype(jnp.float32) * flat_w[order][:, None]
+    out = jnp.zeros((N, h), jnp.float32).at[tok_sorted].add(y)
+    return out.astype(x.dtype)

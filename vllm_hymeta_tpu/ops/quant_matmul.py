@@ -1,0 +1,222 @@
+"""Quantized matmul ops.
+
+Replaces the reference's GPTQ / W8A8 CUDA kernels (SURVEY.md §2.8 N12):
+  * groupwise weight-only INT4/INT8 (GPTQ layout: per-group scales+zeros,
+    group_size 64 — `hf_7B_model/quant_7B.py:13-36`)
+  * W8A8: INT8 weights with per-channel scale + dynamic per-token INT8
+    activation quantization (`hf_model/quant_w8a8.py:90-138`)
+
+Two tiers per op: a jnp reference (`*_ref`, always correct, used in tests
+and as CPU fallback) and a Pallas TPU kernel used under jit on TPU.  The
+dispatchers pick Pallas on TPU backends.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() in ("tpu", "axon")
+    except Exception:  # pragma: no cover
+        return False
+
+
+# ---------------------------------------------------------------------------
+# group-wise weight-only dequant matmul (GPTQ INT4/INT8)
+# ---------------------------------------------------------------------------
+
+def dequant_groupwise(qw: jax.Array, scales: jax.Array, zeros: jax.Array,
+                      dtype=jnp.bfloat16) -> jax.Array:
+    """w[i, o] = (qw[i, o] - zeros[i//g, o]) * scales[i//g, o]."""
+    K, N = qw.shape
+    G = scales.shape[0]
+    g = K // G
+    qf = qw.astype(jnp.float32).reshape(G, g, N)
+    w = (qf - zeros.astype(jnp.float32)[:, None, :]) \
+        * scales.astype(jnp.float32)[:, None, :]
+    return w.reshape(K, N).astype(dtype)
+
+
+def groupwise_dequant_matmul_ref(x, qw, scales, zeros):
+    w = dequant_groupwise(qw, scales, zeros, dtype=x.dtype)
+    return jnp.dot(x, w, preferred_element_type=x.dtype)
+
+
+def _gw_kernel(x_ref, qw_ref, s_ref, z_ref, o_ref, acc_ref, *, g: int,
+               k_steps: int):
+    """Grid (M/bm, N/bn, K/bk): dequantize a [bk, bn] weight tile in VMEM and
+    feed the MXU; accumulate fp32 in scratch."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    qw = qw_ref[:].astype(jnp.float32)           # [bk, bn]
+    bk = qw.shape[0]
+    # per-row group index within this K-tile (bk is a multiple of g)
+    s = s_ref[:].astype(jnp.float32)             # [bk//g, bn]
+    z = z_ref[:].astype(jnp.float32)
+    s_full = jnp.repeat(s, g, axis=0)
+    z_full = jnp.repeat(z, g, axis=0)
+    w = ((qw - z_full) * s_full).astype(jnp.bfloat16)
+    acc_ref[:] += jnp.dot(x_ref[:], w, preferred_element_type=jnp.float32)
+
+    @pl.when(ik == k_steps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
+def groupwise_dequant_matmul_pallas(x, qw, scales, zeros,
+                                    bm: int = 256, bn: int = 512,
+                                    bk: int = 512):
+    """Fused dequant+matmul: x [M, K] bf16 @ (qw [K, N] int8, group params)."""
+    M, K = x.shape
+    N = qw.shape[1]
+    G = scales.shape[0]
+    g = K // G
+    orig_m = M
+    if M % 8 != 0:  # pad rows to sublane multiple
+        pad = 8 - M % 8
+        x = jnp.pad(x, ((0, pad), (0, 0)))
+        M += pad
+    bm = min(bm, M)
+    bn = min(bn, N)
+    bk = min(bk, K)
+    # K-tile must hold whole groups
+    if bk % g != 0:
+        bk = (bk // g) * g or g
+    k_steps = pl.cdiv(K, bk)
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), k_steps)
+    out = pl.pallas_call(
+        functools.partial(_gw_kernel, g=g, k_steps=k_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // g, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk // g, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N + M * N * 2,
+            transcendentals=0),
+    )(x, qw, scales, zeros)
+    return out[:orig_m]
+
+
+def groupwise_dequant_matmul(x, qw, scales, zeros):
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    if _on_tpu():
+        y = groupwise_dequant_matmul_pallas(x2, qw, scales, zeros)
+    else:
+        y = groupwise_dequant_matmul_ref(x2, qw, scales, zeros)
+    return y.reshape(*shape[:-1], qw.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# W8A8: dynamic per-token INT8 activations × per-channel INT8 weights
+# ---------------------------------------------------------------------------
+
+def quantize_per_token(x: jax.Array):
+    """Symmetric per-token INT8: returns (q int8, scale fp32 [..., 1])."""
+    amax = jnp.max(jnp.abs(x.astype(jnp.float32)), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) / scale), -127, 127)
+    return q.astype(jnp.int8), scale
+
+
+def w8a8_matmul_ref(x, qw, w_scale):
+    qx, x_scale = quantize_per_token(x)
+    acc = jnp.dot(qx.astype(jnp.int32), qw.astype(jnp.int32),
+                  preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def _w8a8_kernel(qx_ref, xs_ref, qw_ref, ws_ref, o_ref, acc_ref, *,
+                 k_steps: int):
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot(
+        qx_ref[:], qw_ref[:], preferred_element_type=jnp.int32)
+
+    @pl.when(ik == k_steps - 1)
+    def _():
+        y = acc_ref[:].astype(jnp.float32)
+        y = y * xs_ref[:] * ws_ref[:].astype(jnp.float32)
+        o_ref[:] = y.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
+def _w8a8_matmul_pallas(qx, x_scale, qw, w_scale, out_dtype,
+                        bm: int = 256, bn: int = 512, bk: int = 512):
+    M, K = qx.shape
+    N = qw.shape[1]
+    bm, bn, bk = min(bm, M), min(bn, N), min(bk, K)
+    k_steps = pl.cdiv(K, bk)
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), k_steps)
+    return pl.pallas_call(
+        functools.partial(_w8a8_kernel, k_steps=k_steps),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i, j, k: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bn), lambda i, j, k: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K + K * N + M * N * 2,
+            transcendentals=0),
+    )(qx, x_scale, qw, w_scale.reshape(1, -1))
+
+
+def w8a8_matmul(x, qw, w_scale):
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    if _on_tpu() and x2.shape[0] >= 32:
+        qx, x_scale = quantize_per_token(x2)
+        M = qx.shape[0]
+        orig_m = M
+        if M % 32 != 0:  # int8 sublane multiple
+            pad = 32 - M % 32
+            qx = jnp.pad(qx, ((0, pad), (0, 0)))
+            x_scale = jnp.pad(x_scale, ((0, pad), (0, 0)))
+        y = _w8a8_matmul_pallas(qx, x_scale, qw, w_scale, x.dtype)[:orig_m]
+    else:
+        y = w8a8_matmul_ref(x2, qw, w_scale)
+    return y.reshape(*shape[:-1], qw.shape[1])

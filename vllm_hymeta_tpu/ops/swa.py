@@ -1,0 +1,329 @@
+"""Sliding-window softmax attention for TPU.
+
+Replaces the reference's flash-attn CUDA kernels (SURVEY.md §2.8 N4/N5/N6):
+  * `flash_window_prefill` — Pallas flash-attention over a position-ordered
+    key tensor [context ∥ chunk] with causal sliding-window masking and LSE
+    output.  For windowed layers the kernel only visits the key blocks
+    inside each query block's window (relative block indexing), so the cost
+    is O(T · W) not O(T²).
+  * decode (seqlen-1) paths are plain jnp over the ring buffer — HBM-bound
+    gathers + small matmuls that XLA handles well.
+
+Mask semantics follow the reference spec exactly
+(`attention/fa_kernel_metatoken.py:377-410`): a query at position p attends
+key position s iff 0 <= p - s < window_keys (window_keys == W for the 70B
+naive convention, W+1 for the 7B FA2 convention), or unconditionally for
+`mask_mode="all"` (the metatoken pass).  Invalid (padded) keys carry
+negative positions.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+INVALID_POS = -(2 ** 30)
+NEG_INF = -1e30
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _flash_kernel(qpos_ref, kpos_ref, q_ref, k_ref, v_ref,
+                  o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
+                  mask_mode: str, window_keys: int, scale: float,
+                  nkb: int):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _():
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    q = q_ref[0]                      # [B, D]
+    k = k_ref[0]                      # [B, D]
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32) * scale  # [B, B]
+
+    qp = qpos_ref[0]                  # [B] int32
+    kp = kpos_ref[0]                  # [B]
+    valid = (kp >= 0)[None, :]
+    if mask_mode == "all":
+        mask = jnp.broadcast_to(valid, s.shape)
+    else:
+        d = qp[:, None] - kp[None, :]
+        mask = (d >= 0) & valid
+        if mask_mode == "window":
+            mask = mask & (d < window_keys)
+    s = jnp.where(mask, s, NEG_INF)
+
+    m_prev = m_ref[:]                 # [B, 1]
+    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_new = jnp.maximum(m_prev, m_cur)
+    alpha = jnp.exp(m_prev - m_new)
+    p = jnp.exp(s - m_new)            # [B, B]
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
+    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    m_ref[:] = m_new
+
+    @pl.when(j == nkb - 1)
+    def _():
+        l = jnp.maximum(l_ref[:], 1e-37)
+        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(l))[:, 0][None, :]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("mask_mode", "window_keys", "scale", "blk",
+                     "off_blocks", "wb_blocks"))
+def _flash_call(q, k, v, q_pos, k_pos, mask_mode, window_keys, scale,
+                blk, off_blocks, wb_blocks):
+    """q: [Hq, Tq_p, D]; k/v: [Hkv, Tk_p, D]; positions int32 [1, T*].
+
+    Windowed contract: key index (off_blocks*blk + r) holds the same
+    timeline position as query row r (both may be masked/invalid).
+    """
+    Hq, Tq, D = q.shape
+    Hkv, Tk, _ = k.shape
+    rep = Hq // Hkv
+    nq = Tq // blk
+    if mask_mode == "window":
+        nkb = wb_blocks + 1
+
+        def k_index(h, i, j):
+            return (h // rep, i + off_blocks - wb_blocks + j, 0)
+
+        def kp_index(h, i, j):
+            return (0, i + off_blocks - wb_blocks + j)
+    else:
+        nkb = Tk // blk
+
+        def k_index(h, i, j):
+            return (h // rep, j, 0)
+
+        def kp_index(h, i, j):
+            return (0, j)
+
+    kernel = functools.partial(
+        _flash_kernel, mask_mode=mask_mode, window_keys=window_keys,
+        scale=scale, nkb=nkb)
+    kv_bytes = (min(nkb * blk, Tk)) * D * 2
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=(Hq, nq, nkb),
+        in_specs=[
+            pl.BlockSpec((1, blk), lambda h, i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk), kp_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, D), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, D), k_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, blk, D), k_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, blk, D), lambda h, i, j: (h, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk), lambda h, i, j: (h, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((Hq, Tq, D), q.dtype),
+            jax.ShapeDtypeStruct((Hq, 1, Tq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk, 1), jnp.float32),
+            pltpu.VMEM((blk, 1), jnp.float32),
+            pltpu.VMEM((blk, D), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * Hq * Tq * nkb * blk * D,
+            bytes_accessed=Hq * Tq * D * 4 + Hq * nq * kv_bytes,
+            transcendentals=2 * Hq * Tq * nkb * blk),
+    )(q_pos, k_pos, q, k, v)
+    return out, lse[:, 0, :]
+
+
+def flash_window_prefill(
+    q: jax.Array,       # [Tq, Hq, D] chunk queries
+    k: jax.Array,       # [Tk, Hkv, D] keys: [ctx_len context ∥ Tq chunk]
+    v: jax.Array,
+    q_pos: jax.Array,   # [Tq] int32 timeline positions
+    k_pos: jax.Array,   # [Tk] int32 (negative for invalid entries)
+    window_keys: int,   # 0 => global causal
+    ctx_len: int = 0,   # static: #context keys preceding the chunk in k
+    scale: Optional[float] = None,
+    mask_mode: Optional[str] = None,  # override: "window"|"causal"|"all"
+    blk: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    """Returns (out [Tq, Hq, D] in q.dtype, lse [Hq, Tq] fp32).
+
+    Windowed mode requires keys contiguous in position with chunk key i
+    (index ctx_len+i) at the same position as query i; context keys hold
+    the window preceding the chunk.  "causal"/"all" modes visit every key
+    block (use for global layers and the metatoken pass).
+    """
+    Tq, Hq, D = q.shape
+    Tk, Hkv, _ = k.shape
+    if scale is None:
+        scale = D ** -0.5
+    if mask_mode is None:
+        mask_mode = "window" if window_keys > 0 else "causal"
+
+    blk = min(blk, _round_up(max(Tq, 128), 128))
+    tq_p = _round_up(Tq, blk)
+
+    qh = jnp.swapaxes(q, 0, 1)  # [Hq, Tq, D]
+    kh = jnp.swapaxes(k, 0, 1)
+    vh = jnp.swapaxes(v, 0, 1)
+    qh = jnp.pad(qh, ((0, 0), (0, tq_p - Tq), (0, 0)))
+    qp = jnp.pad(q_pos.astype(jnp.int32), (0, tq_p - Tq),
+                 constant_values=INVALID_POS)[None]
+
+    if mask_mode == "window":
+        assert k.shape[0] == ctx_len + Tq, (
+            "windowed mode expects keys = [ctx ∥ chunk]")
+        wb = _round_up(window_keys, blk)
+        # left-pad so (left + ctx_len) is a block multiple >= wb
+        left = wb + (-ctx_len) % blk
+        off = left + ctx_len
+        tk_p = off + tq_p
+        kh = jnp.pad(kh, ((0, 0), (left, tk_p - left - Tk), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (left, tk_p - left - Tk), (0, 0)))
+        kp = jnp.pad(k_pos.astype(jnp.int32), (left, tk_p - left - Tk),
+                     constant_values=INVALID_POS)[None]
+        out, lse = _flash_call(qh, kh, vh, qp, kp, mask_mode, window_keys,
+                               scale, blk, off // blk, wb // blk)
+    else:
+        tk_p = _round_up(Tk, blk)
+        kh = jnp.pad(kh, ((0, 0), (0, tk_p - Tk), (0, 0)))
+        vh = jnp.pad(vh, ((0, 0), (0, tk_p - Tk), (0, 0)))
+        kp = jnp.pad(k_pos.astype(jnp.int32), (0, tk_p - Tk),
+                     constant_values=INVALID_POS)[None]
+        out, lse = _flash_call(qh, kh, vh, qp, kp, mask_mode, window_keys,
+                               scale, blk, 0, 0)
+    return jnp.swapaxes(out, 0, 1)[:Tq], lse[:, :Tq]
+
+
+# ---------------------------------------------------------------------------
+# jnp reference / decode paths
+# ---------------------------------------------------------------------------
+
+def flash_window_prefill_ref(q, k, v, q_pos, k_pos, window_keys,
+                             ctx_len: int = 0, scale=None, mask_mode=None):
+    """Naive jnp twin of flash_window_prefill (same semantics; test oracle)."""
+    Tq, Hq, D = q.shape
+    Hkv = k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    if mask_mode is None:
+        mask_mode = "window" if window_keys > 0 else "causal"
+    rep = Hq // Hkv
+    kk = jnp.repeat(k, rep, axis=1)
+    vv = jnp.repeat(v, rep, axis=1)
+    logits = jnp.einsum("qhd,khd->hqk", q.astype(jnp.float32),
+                        kk.astype(jnp.float32)) * scale
+    valid = (k_pos >= 0)[None, :]
+    if mask_mode == "all":
+        mask = jnp.broadcast_to(valid, (Tq, k.shape[0]))
+    else:
+        d = q_pos[:, None] - k_pos[None, :]
+        mask = (d >= 0) & valid
+        if mask_mode == "window":
+            mask = mask & (d < window_keys)
+    logits = jnp.where(mask[None], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-37)
+    out = jnp.einsum("hqk,khd->qhd", p / l, vv.astype(jnp.float32))
+    lse = (m + jnp.log(l))[..., 0]
+    return out.astype(q.dtype), lse
+
+
+def swa_decode(
+    q: jax.Array,        # [S, Hq, D] one new token per slot
+    ring_k: jax.Array,   # [S, Hkv, R, D]
+    ring_v: jax.Array,
+    positions: jax.Array,  # [S] int32 position of the new token
+    window_keys: int,      # 0 => global (ring must hold the whole context)
+    scale: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Decode attention over per-slot ring buffers; returns
+    (out [S,Hq,D] fp32, lse [S,Hq] fp32).
+
+    Ring entry j of a slot at current position p holds key position
+    p - ((p - j) mod R) — the newest position congruent to j mod R, given
+    the current token was already written at p mod R.  Entries whose
+    derived position is < 0 or outside the window are masked.
+    """
+    S, Hq, D = q.shape
+    Hkv, R = ring_k.shape[1], ring_k.shape[2]
+    if scale is None:
+        scale = D ** -0.5
+    rep = Hq // Hkv
+
+    j = jnp.arange(R, dtype=jnp.int32)[None, :]          # [1, R]
+    p = positions.astype(jnp.int32)[:, None]             # [S, 1]
+    k_pos = p - jnp.mod(p - j, R)                        # [S, R]
+    d = p - k_pos
+    mask = k_pos >= 0
+    if window_keys > 0:
+        mask = mask & (d < window_keys)
+
+    qg = q.reshape(S, Hkv, rep, D)
+    logits = jnp.einsum("sgrd,sgkd->sgrk", qg.astype(jnp.float32),
+                        ring_k.astype(jnp.float32)) * scale  # [S,Hkv,rep,R]
+    logits = jnp.where(mask[:, None, None, :], logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    pexp = jnp.exp(logits - m)
+    l = jnp.maximum(jnp.sum(pexp, axis=-1, keepdims=True), 1e-37)
+    out = jnp.einsum("sgrk,sgkd->sgrd", pexp / l,
+                     ring_v.astype(jnp.float32))
+    out = out.reshape(S, Hq, D)
+    lse = (m + jnp.log(l))[..., 0].reshape(S, Hq)
+    return out, lse
+
+
+def meta_decode(
+    q: jax.Array,       # [S, Hq, D]
+    meta_k: jax.Array,  # [M, Hkv, D]
+    meta_v: jax.Array,
+    scale: Optional[float] = None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Non-causal attention of decode queries vs the cached metatokens
+    (pass 2 of `fa_kernel_metatoken.py:174-188`); returns (out fp32, lse)."""
+    S, Hq, D = q.shape
+    Hkv = meta_k.shape[1]
+    if scale is None:
+        scale = D ** -0.5
+    rep = Hq // Hkv
+    qg = q.reshape(S, Hkv, rep, D)
+    logits = jnp.einsum("sgrd,mgd->sgrm", qg.astype(jnp.float32),
+                        meta_k.astype(jnp.float32)) * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.maximum(jnp.sum(p, axis=-1, keepdims=True), 1e-37)
+    out = jnp.einsum("sgrm,mgd->sgrd", p / l,
+                     meta_v.astype(jnp.float32)).reshape(S, Hq, D)
+    lse = (m + jnp.log(l))[..., 0].reshape(S, Hq)
+    return out, lse
+
+
+def merge_two(out1, lse1, out2, lse2):
+    """LSE merge (`fa_kernel_metatoken.py:110-122`) for [.., H, D] outs with
+    lse [.., H]: log-sum-exp-consistent combination of two passes."""
+    new_lse = lse1 - jax.nn.log_sigmoid(lse1 - lse2)
+    w2 = jax.nn.sigmoid(lse2 - lse1)[..., None]
+    return out1 - w2 * (out1 - out2), new_lse
