@@ -1,0 +1,125 @@
+"""End-to-end engine tests: continuous batching, sampling, stop handling."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+from vllm_hymeta_tpu.engine.sampler import SamplingParams, sample
+from vllm_hymeta_tpu.models import gla_swa, hymeta
+from tests.test_models import tiny_glaswa, tiny_hymeta
+
+
+def _ecfg(**kw):
+    d = dict(max_num_seqs=2, max_model_len=128, prefill_chunk=16,
+             prefill_buckets=(16,))
+    d.update(kw)
+    return EngineConfig(**d)
+
+
+def _assert_greedy_consistent(cfg, model, params, prompt, output,
+                              tol=5e-3):
+    """Each engine-emitted token must be (near-)argmax of the golden logits
+    for the engine's own token history — robust to argmax flips on
+    numerical near-ties between the two computation paths."""
+    toks = list(prompt)
+    for tok in output:
+        logits = model.forward_full(
+            cfg, params, jnp.asarray([toks], jnp.int32))[0, -1]
+        logits = np.asarray(logits)
+        assert logits[tok] >= logits.max() - tol, (
+            f"token {tok} (logit {logits[tok]}) vs argmax "
+            f"{logits.argmax()} (logit {logits.max()})")
+        toks.append(tok)
+
+
+class TestEngine:
+    def test_greedy_matches_forward_full(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg())
+        prompt = list(np.random.RandomState(0).randint(0, 256, size=12))
+        sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+        [req] = eng.generate([prompt], sp)
+        assert len(req.output) == 6
+        _assert_greedy_consistent(cfg, gla_swa, params, prompt, req.output)
+
+    def test_two_requests_batched(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(1),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg())
+        rs = np.random.RandomState(1)
+        p1 = list(rs.randint(0, 256, size=9))
+        p2 = list(rs.randint(0, 256, size=13))
+        sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+        r1, r2 = eng.generate([p1, p2], sp)
+        for prompt, req in ((p1, r1), (p2, r2)):
+            assert len(req.output) == 4
+            _assert_greedy_consistent(cfg, gla_swa, params, prompt,
+                                      req.output)
+
+    def test_hymeta_engine(self):
+        cfg = tiny_hymeta()
+        params = hymeta.init_params(cfg, jax.random.PRNGKey(2),
+                                    dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg())
+        prompt = list(np.random.RandomState(2).randint(0, 256, size=10))
+        sp = SamplingParams(temperature=0.0, max_tokens=5, ignore_eos=True)
+        [req] = eng.generate([prompt], sp)
+        assert len(req.output) == 5
+        _assert_greedy_consistent(cfg, hymeta, params, prompt, req.output)
+
+    def test_chunked_prefill_engine(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(3),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg(prefill_chunk=8, prefill_buckets=(8,)))
+        prompt = list(np.random.RandomState(3).randint(0, 256, size=20))
+        sp = SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True)
+        [req] = eng.generate([prompt], sp)
+        assert len(req.output) == 3
+        _assert_greedy_consistent(cfg, gla_swa, params, prompt, req.output)
+
+    def test_eos_stops(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(4),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg())
+        prompt = [1, 2, 3]
+        # find what greedy emits first, then declare it the EOS token
+        sp = SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True)
+        [probe] = eng.generate([prompt], sp)
+        eos = probe.output[0]
+        cfg2 = tiny_glaswa(eos_token_id=eos)
+        eng2 = Engine(cfg2, params, _ecfg())
+        [req] = eng2.generate([prompt], SamplingParams(temperature=0.0,
+                                                       max_tokens=8))
+        assert req.finish_reason == "stop"
+        assert req.output[-1] == eos
+
+
+class TestSampler:
+    def test_greedy(self):
+        logits = jnp.array([[0.1, 3.0, -1.0], [2.0, 0.0, 5.0]])
+        ids = sample(logits, jax.random.PRNGKey(0),
+                     jnp.zeros((2,)), jnp.zeros((2,), jnp.int32),
+                     jnp.ones((2,)))
+        assert list(np.asarray(ids)) == [1, 2]
+
+    def test_top_k_restricts(self):
+        logits = jnp.array([[5.0, 4.0, -10.0, -10.0]])
+        for seed in range(10):
+            ids = sample(logits, jax.random.PRNGKey(seed),
+                         jnp.ones((1,)), jnp.array([2], jnp.int32),
+                         jnp.ones((1,)))
+            assert int(ids[0]) in (0, 1)
+
+    def test_top_p_restricts(self):
+        logits = jnp.array([[10.0, 0.0, 0.0, 0.0]])
+        for seed in range(10):
+            ids = sample(logits, jax.random.PRNGKey(seed),
+                         jnp.ones((1,)), jnp.zeros((1,), jnp.int32),
+                         jnp.array([0.5]))
+            assert int(ids[0]) == 0

@@ -182,6 +182,11 @@ def flash_window_prefill(
     if mask_mode is None:
         mask_mode = "window" if window_keys > 0 else "causal"
 
+    if jax.default_backend() not in ("tpu", "axon"):
+        # Pallas TPU kernels can't lower on CPU; use the jnp reference
+        return flash_window_prefill_ref(q, k, v, q_pos, k_pos, window_keys,
+                                        ctx_len, scale, mask_mode)
+
     blk = min(blk, _round_up(max(Tq, 128), 128))
     tq_p = _round_up(Tq, blk)
 
