@@ -93,18 +93,22 @@ def quantize_kv(x: jax.Array):
 
 def write_prefill_kv(layer_cache: dict, slot: jax.Array,
                      k: jax.Array, v: jax.Array,
-                     positions: jax.Array, valid: jax.Array) -> dict:
+                     positions: jax.Array, valid: jax.Array,
+                     enable=True) -> dict:
     """Scatter a prefill chunk's keys into the ring of one slot.
 
     k/v: [T, Hkv, D]; positions [T]; valid [T] bool.  Ring layout
     [S, Hkv, R, D], index = position mod R.  When T > R only the last R
     valid positions are written (earlier ones fall out of every window).
+    `enable=False` (a traced bool) turns all writes into no-ops — used by
+    non-owner data-parallel ranks.
     """
     S, Hkv, R, D = layer_cache["k"].shape
     T = k.shape[0]
     idx = jnp.mod(positions, R)
     # drop tokens that a later token in this same chunk would overwrite
     keep = valid & (positions >= positions[-1] - (R - 1)) if T > R else valid
+    keep = keep & enable
     # route dropped writes to a scratch row (index R) then slice off
     idx = jnp.where(keep, idx, R)
 

@@ -58,6 +58,41 @@ def gather_ring_context(
     return k, v, k_pos
 
 
+def local_heads(cfg, pctx) -> Tuple[int, int]:
+    """(query heads, kv heads) on this model-parallel rank.  Requires
+    tp <= num_key_value_heads (the replicate-if-fewer path of
+    `modeling_hymeta.py:407-418` is future work)."""
+    tp = pctx.tp
+    Hq = cfg.num_attention_heads // tp
+    assert cfg.num_key_value_heads % tp == 0, (
+        f"tp={tp} must divide num_key_value_heads="
+        f"{cfg.num_key_value_heads}")
+    return Hq, cfg.num_key_value_heads // tp
+
+
+def embed_vp(p: dict, ids: jax.Array, pctx) -> jax.Array:
+    """Vocab-parallel embedding lookup: local-range gather + psum
+    (the TP layout of vLLM's VocabParallelEmbedding,
+    `modeling_hymeta.py:1104-1108`)."""
+    w = p["w"]
+    if pctx.model_axis is None:
+        return jnp.take(w, ids, axis=0)
+    vl = w.shape[0]
+    local = ids - pctx.rank() * vl
+    ok = (local >= 0) & (local < vl)
+    x = jnp.take(w, jnp.clip(local, 0, vl - 1), axis=0)
+    x = jnp.where(ok[..., None], x, 0)
+    return pctx.psum(x)
+
+
+def lm_head_gather(p: dict, x: jax.Array, pctx) -> jax.Array:
+    """fp32 LM head over the vocab-sharded weight, gathered to full vocab
+    (`modeling_hymeta.py:1459-1469`)."""
+    y = jnp.dot(x.astype(jnp.float32), p["w"].astype(jnp.float32),
+                preferred_element_type=jnp.float32)
+    return pctx.all_gather(y, axis=-1) if pctx.model_axis else y
+
+
 def init_linear(key, d_in: int, d_out: int, bias: bool, dtype,
                 std: float = 0.02) -> dict:
     k1, _ = jax.random.split(key)

@@ -28,6 +28,7 @@ from vllm_hymeta_tpu.config import GLAswaConfig
 from vllm_hymeta_tpu.models import common
 from vllm_hymeta_tpu.models.layers import embed, glu_mlp, linear, lm_head
 from vllm_hymeta_tpu.ops import gla_chunk, naive, swa
+from vllm_hymeta_tpu.parallel.pctx import NULL_CTX
 
 
 # ---------------------------------------------------------------------------
@@ -91,11 +92,11 @@ def init_cache(cfg: GLAswaConfig, cc: cache_lib.CacheConfig) -> dict:
 # layer pieces
 # ---------------------------------------------------------------------------
 
-def _gla_qkvg(cfg: GLAswaConfig, ap: dict, x: jax.Array):
+def _gla_qkvg(cfg: GLAswaConfig, ap: dict, x: jax.Array, pctx=NULL_CTX):
     """Project + feature-map + gates for a GLA layer.
     x: [..., T, h] -> q,k [..., T, H, D], v likewise, g fp32."""
-    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                 cfg.head_dim)
+    H, Hkv = common.local_heads(cfg, pctx)
+    D = cfg.head_dim
     q, k, v = common.project_qkv(ap, x, H, Hkv, D)
     gk = common.split_heads(linear(ap["gk_b"], linear(ap["gk_a"], x)), Hkv)
     rep = H // Hkv
@@ -106,11 +107,12 @@ def _gla_qkvg(cfg: GLAswaConfig, ap: dict, x: jax.Array):
     return q, k, v, g
 
 
-def _gla_out(cfg: GLAswaConfig, ap: dict, o: jax.Array) -> jax.Array:
-    """Per-head g_norm then output projection
+def _gla_out(cfg: GLAswaConfig, ap: dict, o: jax.Array,
+             pctx=NULL_CTX) -> jax.Array:
+    """Per-head g_norm then output projection (row-parallel -> psum)
     (`hf_7B_model/gla_attention.py:170-171`). o: [..., T, H, D]."""
     o = naive.rms_norm(o, ap["g_norm"]["w"], cfg.norm_eps)
-    return linear(ap["o_proj"], common.merge_heads(o))
+    return pctx.psum(linear(ap["o_proj"], common.merge_heads(o)))
 
 
 def _swa_rope(cfg: GLAswaConfig, q, k, positions):
@@ -123,37 +125,38 @@ def _swa_rope(cfg: GLAswaConfig, q, k, positions):
 # ---------------------------------------------------------------------------
 
 def forward_full(cfg: GLAswaConfig, params: dict, tokens: jax.Array,
-                 positions: Optional[jax.Array] = None) -> jax.Array:
+                 positions: Optional[jax.Array] = None,
+                 pctx=NULL_CTX) -> jax.Array:
     """tokens [B, T] -> logits [B, T, V] (fp32). Naive attention ops."""
     B, T = tokens.shape
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)[None].repeat(B, 0)
-    x = embed(params["embed"], tokens)
+    x = common.embed_vp(params["embed"], tokens, pctx)
     for i, lp in enumerate(params["layers"]):
         res = x
         y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
         ap = lp["attn"]
         if cfg.is_swa_layer(i):
-            H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                         cfg.head_dim)
+            H, Hkv = common.local_heads(cfg, pctx)
+            D = cfg.head_dim
             q, k, v = common.project_qkv(ap, y, H, Hkv, D)
             q, k = _swa_rope(cfg, q, k, positions)
             out, _ = naive.swa_attention(
                 q, k, v, positions[0], positions[0], cfg.sliding_window,
                 cfg.inclusive_window)
-            att = linear(ap["o_proj"],
-                         common.merge_heads(out.astype(y.dtype)))
+            att = pctx.psum(linear(
+                ap["o_proj"], common.merge_heads(out.astype(y.dtype))))
         else:
-            q, k, v, g = _gla_qkvg(cfg, ap, y)
+            q, k, v, g = _gla_qkvg(cfg, ap, y, pctx)
             o, _ = gla_chunk.gla_chunked(
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))
-            att = _gla_out(cfg, ap, o.transpose(0, 2, 1, 3))
+            att = _gla_out(cfg, ap, o.transpose(0, 2, 1, 3), pctx)
         y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
                                          cfg.norm_eps)
-        x = res + glu_mlp(lp["mlp"], y)
+        x = res + pctx.psum(glu_mlp(lp["mlp"], y))
     x = naive.rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
-    return lm_head(params["lm_head"], x)
+    return common.lm_head_gather(params["lm_head"], x, pctx)
 
 
 # ---------------------------------------------------------------------------
@@ -162,16 +165,22 @@ def forward_full(cfg: GLAswaConfig, params: dict, tokens: jax.Array,
 
 def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
             tokens: jax.Array,     # [T] (padded)
-            slot: jax.Array,       # scalar int32
+            slot: jax.Array,       # scalar int32 (global slot id)
             pos0: jax.Array,       # scalar int32: first token's position
             n_valid: jax.Array,    # scalar int32: valid token count
+            pctx=NULL_CTX,
             ) -> Tuple[jax.Array, dict]:
     """Process one prompt chunk for `slot`; returns (last-token logits [V],
-    updated cache).  The engine clears slot state before the first chunk."""
+    updated cache).  The engine clears slot state before the first chunk.
+
+    Under data parallelism every rank computes the chunk but only the
+    slot's owner commits cache writes; logits are owner-broadcast."""
     T = tokens.shape[0]
+    n_local_slots = cache["layers"][0][next(iter(cache["layers"][0]))].shape[0]
+    lslot, owned = pctx.local_slot(slot, n_local_slots)
     positions = pos0 + jnp.arange(T, dtype=jnp.int32)
     valid = jnp.arange(T) < n_valid
-    x = embed(params["embed"], tokens)
+    x = common.embed_vp(params["embed"], tokens, pctx)
 
     new_layers = []
     for i, lp in enumerate(params["layers"]):
@@ -180,13 +189,13 @@ def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
         ap = lp["attn"]
         lc = cache["layers"][i]
         if cfg.is_swa_layer(i):
-            H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                         cfg.head_dim)
+            H, Hkv = common.local_heads(cfg, pctx)
+            D = cfg.head_dim
             q, k, v = common.project_qkv(ap, y[None], H, Hkv, D)
             q, k = _swa_rope(cfg, q, k, positions[None])
             q, k, v = q[0], k[0], v[0]
             ctx_k, ctx_v, ctx_pos = common.gather_ring_context(
-                lc, slot, pos0)
+                lc, lslot, pos0)
             R = ctx_k.shape[0]
             k_all = jnp.concatenate([ctx_k, k], axis=0)
             v_all = jnp.concatenate([ctx_v, v], axis=0)
@@ -195,31 +204,34 @@ def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
             qp = jnp.where(valid, positions, swa.INVALID_POS)
             out, _ = swa.flash_window_prefill(
                 q, k_all, v_all, qp, kp_all, cfg.window_keys, ctx_len=R)
-            att = linear(ap["o_proj"], common.merge_heads(out))
-            lc = cache_lib.write_prefill_kv(lc, slot, k, v, positions,
-                                            valid)
+            att = pctx.psum(linear(ap["o_proj"], common.merge_heads(out)))
+            lc = cache_lib.write_prefill_kv(lc, lslot, k, v, positions,
+                                            valid, enable=owned)
         else:
-            q, k, v, g = _gla_qkvg(cfg, ap, y)
+            q, k, v, g = _gla_qkvg(cfg, ap, y, pctx)
             # identity updates on padded rows: k=v=0, g=0
             k = jnp.where(valid[:, None, None], k, 0.0)
             v = jnp.where(valid[:, None, None], v, 0.0)
             g = jnp.where(valid[:, None, None], g, 0.0)
-            S0 = lc["state"][slot][None].astype(jnp.float32)
+            S0 = lc["state"][lslot][None].astype(jnp.float32)
             o, S = gla_chunk.gla_chunked(
                 q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
                 v.transpose(1, 0, 2)[None], g.transpose(1, 0, 2)[None],
                 initial_state=S0)
-            att = _gla_out(cfg, ap, o[0].transpose(1, 0, 2))
-            lc = {"state": lc["state"].at[slot].set(
-                S[0].astype(lc["state"].dtype))}
+            att = _gla_out(cfg, ap, o[0].transpose(1, 0, 2), pctx)
+            S_new = jnp.where(owned, S[0].astype(lc["state"].dtype),
+                              lc["state"][lslot])
+            lc = {"state": lc["state"].at[lslot].set(S_new)}
         new_layers.append(lc)
         y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
                                          cfg.norm_eps)
-        x = res + glu_mlp(lp["mlp"], y)
+        x = res + pctx.psum(glu_mlp(lp["mlp"], y))
 
     x_last = x[n_valid - 1]
     x_last = naive.rms_norm(x_last, params["final_norm"]["w"], cfg.norm_eps)
-    logits = lm_head(params["lm_head"], x_last)
+    logits = common.lm_head_gather(params["lm_head"], x_last, pctx)
+    if pctx.data_axis is not None:
+        logits = pctx.psum_data(jnp.where(owned, logits, 0.0))
     return logits, {"layers": new_layers}
 
 
@@ -231,11 +243,12 @@ def decode(cfg: GLAswaConfig, params: dict, cache: dict,
            tokens: jax.Array,      # [S]
            positions: jax.Array,   # [S] position of the new token
            active: jax.Array,      # [S] bool
+           pctx=NULL_CTX,
            ) -> Tuple[jax.Array, dict]:
     """One decode step for the whole slot batch; returns (logits [S, V],
-    updated cache)."""
+    updated cache).  Under DP the slot batch arrives pre-sharded."""
     S = tokens.shape[0]
-    x = embed(params["embed"], tokens)  # [S, h]
+    x = common.embed_vp(params["embed"], tokens, pctx)  # [S, h]
 
     new_layers = []
     for i, lp in enumerate(params["layers"]):
@@ -244,8 +257,8 @@ def decode(cfg: GLAswaConfig, params: dict, cache: dict,
         ap = lp["attn"]
         lc = cache["layers"][i]
         if cfg.is_swa_layer(i):
-            H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                         cfg.head_dim)
+            H, Hkv = common.local_heads(cfg, pctx)
+            D = cfg.head_dim
             # treat the slot batch as a length-S "sequence" of independent rows
             q, k, v = common.project_qkv(ap, y, H, Hkv, D)  # [S, H, D]
             cos, sin = naive.rope_cos_sin(positions, D, cfg.rope_theta)
@@ -254,21 +267,21 @@ def decode(cfg: GLAswaConfig, params: dict, cache: dict,
             lc = cache_lib.write_decode_kv(lc, k, v, positions, active)
             rk, rv = cache_lib.kv_entry(lc)
             out, _ = swa.swa_decode(q, rk, rv, positions, cfg.window_keys)
-            att = linear(ap["o_proj"],
-                         common.merge_heads(out.astype(y.dtype)))
+            att = pctx.psum(linear(
+                ap["o_proj"], common.merge_heads(out.astype(y.dtype))))
         else:
-            q, k, v, g = _gla_qkvg(cfg, ap, y)  # [S, H, D]
+            q, k, v, g = _gla_qkvg(cfg, ap, y, pctx)  # [S, H, D]
             S_old = lc["state"].astype(jnp.float32)
             o, S_new = naive.gla_decode_step(q, k, v, g, S_old)
             S_new = jnp.where(active[:, None, None, None], S_new, S_old)
             o = jnp.where(active[:, None, None], o, 0.0)
-            att = _gla_out(cfg, ap, o)
+            att = _gla_out(cfg, ap, o, pctx)
             lc = {"state": S_new.astype(lc["state"].dtype)}
         new_layers.append(lc)
         y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
                                          cfg.norm_eps)
-        x = res + glu_mlp(lp["mlp"], y)
+        x = res + pctx.psum(glu_mlp(lp["mlp"], y))
 
     x = naive.rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
-    logits = lm_head(params["lm_head"], x)
+    logits = common.lm_head_gather(params["lm_head"], x, pctx)
     return logits, {"layers": new_layers}

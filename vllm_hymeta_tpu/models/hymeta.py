@@ -40,6 +40,7 @@ from vllm_hymeta_tpu.models import common
 from vllm_hymeta_tpu.models.layers import (embed, glu_mlp, linear, lm_head,
                                            moe_block, moe_block_grouped)
 from vllm_hymeta_tpu.ops import gla_chunk, naive, swa
+from vllm_hymeta_tpu.parallel.pctx import NULL_CTX, rms_norm_tp
 
 
 # ---------------------------------------------------------------------------
@@ -144,19 +145,22 @@ def lower_bound_table(cfg: HymetaConfig,
 
 
 def _layer_lower_bound(cfg: HymetaConfig, lbs: Optional[jax.Array],
-                       i: int) -> Optional[jax.Array]:
-    """Per-layer lower bound reshaped to [H, D], or None where disabled."""
+                       i: int, pctx=NULL_CTX) -> Optional[jax.Array]:
+    """Per-layer lower bound reshaped to [H_local, D], or None where
+    disabled.  Under TP `lbs` arrives head-sharded, matching the per-rank
+    slice at `modeling_hymeta.py:623-625`."""
     if lbs is None or cfg.lower_bound_disabled(i):
         return None
     lb = lbs[cfg.lower_bound_index(i)]
-    return lb.reshape(cfg.num_attention_heads, cfg.head_dim)
+    H, _ = common.local_heads(cfg, pctx)
+    return lb.reshape(H, cfg.head_dim)
 
 
 def _gla_qkvg(cfg: HymetaConfig, gp: dict, x: jax.Array,
-              lower_bound: Optional[jax.Array]):
+              lower_bound: Optional[jax.Array], pctx=NULL_CTX):
     """70B GLA branch projections + gates. x: [..., T, h]."""
-    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                 cfg.head_dim)
+    H, Hkv = common.local_heads(cfg, pctx)
+    D = cfg.head_dim
     q, k, v = common.project_qkv(gp, x, H, Hkv, D)
     rep = H // Hkv
     k = common.repeat_kv_heads(k, rep)
@@ -166,18 +170,33 @@ def _gla_qkvg(cfg: HymetaConfig, gp: dict, x: jax.Array,
 
 
 def _ffn(cfg: HymetaConfig, lp: dict, x: jax.Array,
-         grouped_moe: bool = True) -> jax.Array:
-    """Dense GLU or MoE + shared MLP (`hf_model/modeling_hymeta.py:190-198`)."""
+         grouped_moe: bool = True, pctx=NULL_CTX) -> jax.Array:
+    """Dense GLU or MoE + shared MLP (`hf_model/modeling_hymeta.py:190-198`).
+
+    All three sub-paths produce row-parallel partial sums (TP-sharded down
+    projections; EP-sharded experts), merged by ONE psum at the end —
+    replacing the separate all-reduces of vLLM's RowParallelLinear +
+    FusedMoE(reduce_results=True) (`modeling_hymeta.py:312-324`)."""
     if "mlp" in lp:
-        return glu_mlp(lp["mlp"], x)
+        return pctx.psum(glu_mlp(lp["mlp"], x))
     shape = x.shape
     flat = x.reshape(-1, shape[-1])
-    fn = moe_block_grouped if grouped_moe else moe_block
-    y = fn(lp["moe"], flat, cfg.num_experts_per_topk, cfg.moe_renormalize)
+    if pctx.model_axis is not None:
+        from vllm_hymeta_tpu.ops import moe_gemm
+        e_local = lp["moe"]["experts"]["gate_proj"].shape[0]
+        y = moe_gemm.moe_apply(
+            lp["moe"], flat, top_k=cfg.num_experts_per_topk,
+            renormalize=cfg.moe_renormalize,
+            expert_offset=pctx.rank() * e_local,
+            num_global_experts=cfg.num_local_experts)
+    else:
+        fn = moe_block_grouped if grouped_moe else moe_block
+        y = fn(lp["moe"], flat, cfg.num_experts_per_topk,
+               cfg.moe_renormalize)
     y = y.reshape(shape)
     if "shared_mlp" in lp:
         y = y + glu_mlp(lp["shared_mlp"], x)
-    return y
+    return pctx.psum(y)
 
 
 # ---------------------------------------------------------------------------
@@ -242,15 +261,18 @@ def precompute_meta(cfg: HymetaConfig, params: dict) -> dict:
 
 
 def _hybrid_merge(cfg: HymetaConfig, ap: dict, swa_out: jax.Array,
-                  gla_out: jax.Array) -> jax.Array:
+                  gla_out: jax.Array, pctx=NULL_CTX) -> jax.Array:
     """(norm1(attn) + norm2(linear)) / 2 -> out_proj
     (`hf_model/modeling_hymeta.py:127-128`, `modeling_hymeta.py:909-920`).
-    swa_out/gla_out: [..., T, h] (heads already merged)."""
-    a = naive.rms_norm(swa_out, ap["norm1"]["w"], cfg.norm_eps)
-    b = naive.rms_norm(gla_out, ap["norm2"]["w"], cfg.norm_eps)
+    swa_out/gla_out: [..., T, h_local] (heads already merged).  Under TP
+    the norms reduce variance across the model axis
+    (HymetaRMSNormTP, `modeling_hymeta.py:122-181`) and out_proj is
+    row-parallel (psum)."""
+    a = rms_norm_tp(swa_out, ap["norm1"]["w"], cfg.norm_eps, pctx)
+    b = rms_norm_tp(gla_out, ap["norm2"]["w"], cfg.norm_eps, pctx)
     mixed = ((a.astype(jnp.float32) + b.astype(jnp.float32)) / 2
              ).astype(swa_out.dtype)
-    return linear(ap["out_proj"], mixed)
+    return pctx.psum(linear(ap["out_proj"], mixed))
 
 
 # ---------------------------------------------------------------------------
@@ -314,7 +336,7 @@ def forward_full(cfg: HymetaConfig, params: dict,
 
 def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
             tokens: jax.Array, slot: jax.Array, pos0: jax.Array,
-            n_valid: jax.Array) -> Tuple[jax.Array, dict]:
+            n_valid: jax.Array, pctx=NULL_CTX) -> Tuple[jax.Array, dict]:
     """One prompt chunk for `slot` using the precomputed meta caches.
 
     The engine must initialize the slot's GLA state to meta["state"] before
@@ -324,13 +346,15 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
     T = tokens.shape[0]
     M = cfg.num_meta_tokens
     lbs = lower_bound_table(cfg, params)
+    n_local_slots = cache["layers"][0]["state"].shape[0]
+    lslot, owned = pctx.local_slot(slot, n_local_slots)
     positions = pos0 + jnp.arange(T, dtype=jnp.int32)
     rope_pos = positions + M  # offset (`modeling_hymeta.py:1313-1323`)
     valid = jnp.arange(T) < n_valid
-    x = embed(params["embed"], tokens)
+    x = common.embed_vp(params["embed"], tokens, pctx)
 
-    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                 cfg.head_dim)
+    H, Hkv = common.local_heads(cfg, pctx)
+    D = cfg.head_dim
     new_layers = []
     for i, lp in enumerate(params["layers"]):
         res = x
@@ -345,7 +369,7 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         q = naive.apply_rope(q, cos, sin)[0]
         k = naive.apply_rope(k, cos, sin)[0]
         v = v[0]
-        ctx_k, ctx_v, ctx_pos = common.gather_ring_context(lc, slot, pos0)
+        ctx_k, ctx_v, ctx_pos = common.gather_ring_context(lc, lslot, pos0)
         R = ctx_k.shape[0]
         k_all = jnp.concatenate([ctx_k, k], axis=0)
         v_all = jnp.concatenate([ctx_v, v], axis=0)
@@ -361,34 +385,39 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
             jnp.swapaxes(out1, 0, 1).astype(jnp.float32), lse1,
             jnp.swapaxes(out2, 0, 1).astype(jnp.float32), lse2)
         swa_out = jnp.swapaxes(mo, 0, 1).astype(y.dtype)  # [T, H, D]
-        lc = cache_lib.write_prefill_kv(lc, slot, k, v, positions, valid)
+        lc = cache_lib.write_prefill_kv(lc, lslot, k, v, positions, valid,
+                                        enable=owned)
 
         # ---- GLA branch
-        lb = _layer_lower_bound(cfg, lbs, i)
-        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb)
+        lb = _layer_lower_bound(cfg, lbs, i, pctx)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb, pctx)
         kg = jnp.where(valid[:, None, None], kg, 0.0)
         vg = jnp.where(valid[:, None, None], vg, 0.0)
         g = jnp.where(valid[:, None, None], g, 0.0)
-        S0 = lc["state"][slot][None].astype(jnp.float32)
+        S0 = lc["state"][lslot][None].astype(jnp.float32)
         o, S = gla_chunk.gla_chunked(
             qg.transpose(1, 0, 2)[None], kg.transpose(1, 0, 2)[None],
             vg.transpose(1, 0, 2)[None], g.transpose(1, 0, 2)[None],
             initial_state=S0)
         gla_out = o[0].transpose(1, 0, 2)
         lc = dict(lc)
-        lc["state"] = lc["state"].at[slot].set(
-            S[0].astype(lc["state"].dtype))
+        S_new = jnp.where(owned, S[0].astype(lc["state"].dtype),
+                          lc["state"][lslot])
+        lc["state"] = lc["state"].at[lslot].set(S_new)
         new_layers.append(lc)
 
         att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
-                            common.merge_heads(gla_out))
+                            common.merge_heads(gla_out), pctx)
         y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
                                           cfg.norm_eps)
-        x = res + _ffn(cfg, lp, y2)
+        x = res + _ffn(cfg, lp, y2, pctx=pctx)
 
     x_last = x[n_valid - 1]
     x_last = naive.rms_norm(x_last, params["final_norm"]["w"], cfg.norm_eps)
-    return lm_head(params["lm_head"], x_last), {"layers": new_layers}
+    logits = common.lm_head_gather(params["lm_head"], x_last, pctx)
+    if pctx.data_axis is not None:
+        logits = pctx.psum_data(jnp.where(owned, logits, 0.0))
+    return logits, {"layers": new_layers}
 
 
 # ---------------------------------------------------------------------------
@@ -396,16 +425,16 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
 # ---------------------------------------------------------------------------
 
 def decode(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
-           tokens: jax.Array, positions: jax.Array, active: jax.Array
-           ) -> Tuple[jax.Array, dict]:
+           tokens: jax.Array, positions: jax.Array, active: jax.Array,
+           pctx=NULL_CTX) -> Tuple[jax.Array, dict]:
     S = tokens.shape[0]
     M = cfg.num_meta_tokens
     lbs = lower_bound_table(cfg, params)
     rope_pos = positions + M
-    x = embed(params["embed"], tokens)
+    x = common.embed_vp(params["embed"], tokens, pctx)
 
-    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                 cfg.head_dim)
+    H, Hkv = common.local_heads(cfg, pctx)
+    D = cfg.head_dim
     new_layers = []
     for i, lp in enumerate(params["layers"]):
         res = x
@@ -427,8 +456,8 @@ def decode(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         swa_out = mo.astype(y.dtype)
 
         # ---- GLA branch
-        lb = _layer_lower_bound(cfg, lbs, i)
-        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb)
+        lb = _layer_lower_bound(cfg, lbs, i, pctx)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb, pctx)
         S_old = lc["state"].astype(jnp.float32)
         o, S_new = naive.gla_decode_step(qg, kg, vg, g, S_old)
         S_new = jnp.where(active[:, None, None, None], S_new, S_old)
@@ -438,10 +467,11 @@ def decode(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         new_layers.append(lc)
 
         att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
-                            common.merge_heads(o.astype(y.dtype)))
+                            common.merge_heads(o.astype(y.dtype)), pctx)
         y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
                                           cfg.norm_eps)
-        x = res + _ffn(cfg, lp, y2)
+        x = res + _ffn(cfg, lp, y2, pctx=pctx)
 
     x = naive.rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
-    return lm_head(params["lm_head"], x), {"layers": new_layers}
+    logits = common.lm_head_gather(params["lm_head"], x, pctx)
+    return logits, {"layers": new_layers}

@@ -13,17 +13,27 @@ import jax.numpy as jnp
 
 
 def moe_apply(p: dict, x: jax.Array, top_k: int = 1,
-              renormalize: bool = True) -> jax.Array:
+              renormalize: bool = True,
+              expert_offset=None,
+              num_global_experts: int = 0) -> jax.Array:
     """x: [N, h]; expert weights p["experts"]: gate/up [E, h, I], down [E, I, h].
 
     Routing semantics per `hf_model/moe.py:64-101` (softmax fp32 -> top-k ->
     optional renormalize).
+
+    Expert parallelism: when `expert_offset` is given, p["experts"] holds
+    only a contiguous slice of `num_global_experts` starting at that
+    (traced) offset; routing runs on the replicated gate over ALL experts,
+    non-local assignments are parked on a zero-weight dummy expert, and the
+    caller psums partial results across EP ranks (replacing vLLM's
+    FusedMoE EP all-to-all, `modeling_hymeta.py:312-324`).
     """
     N, h = x.shape
     wg = p["experts"]["gate_proj"]
     wu = p["experts"]["up_proj"]
     wd = p["experts"]["down_proj"]
-    E = wg.shape[0]
+    E_local = wg.shape[0]
+    E_route = num_global_experts if expert_offset is not None else E_local
 
     router_logits = jnp.dot(x, p["gate"]["w"],
                             preferred_element_type=jnp.float32)
@@ -32,14 +42,26 @@ def moe_apply(p: dict, x: jax.Array, top_k: int = 1,
     if renormalize:
         topw = topw / jnp.sum(topw, axis=-1, keepdims=True)
 
-    # flatten assignments and sort by expert
-    flat_e = topi.reshape(-1)                      # [N*k]
+    # flatten assignments and sort by (local) expert
+    flat_e = topi.reshape(-1)                      # [N*k] global expert ids
     flat_w = topw.reshape(-1)
+    if expert_offset is not None:
+        local_e = flat_e - expert_offset
+        is_local = (local_e >= 0) & (local_e < E_local)
+        flat_e = jnp.where(is_local, local_e, E_local)  # dummy bucket
+        flat_w = jnp.where(is_local, flat_w, 0.0)
+        n_groups = E_local + 1
+        zeros_gu = jnp.zeros((1,) + wg.shape[1:], wg.dtype)
+        wg = jnp.concatenate([wg, zeros_gu], axis=0)
+        wu = jnp.concatenate([wu, zeros_gu], axis=0)
+        wd = jnp.concatenate(
+            [wd, jnp.zeros((1,) + wd.shape[1:], wd.dtype)], axis=0)
+    else:
+        n_groups = E_local
     flat_tok = jnp.repeat(jnp.arange(N), top_k)    # token index per assignment
     order = jnp.argsort(flat_e)                    # stable
-    e_sorted = flat_e[order]
     tok_sorted = flat_tok[order]
-    group_sizes = jnp.bincount(flat_e, length=E).astype(jnp.int32)
+    group_sizes = jnp.bincount(flat_e, length=n_groups).astype(jnp.int32)
 
     xs = x[tok_sorted]                             # [N*k, h] grouped by expert
     hg = jax.lax.ragged_dot(xs, wg, group_sizes)

@@ -1,0 +1,90 @@
+"""shard_map-wrapped step functions over a (data, model) mesh.
+
+One jitted program per engine step; inside, the model code runs per-shard
+with ParallelCtx inserting the TP psums / EP combines, and Pallas kernels
+see local shapes (GSPMD cannot partition opaque kernel calls — shard_map
+can, which is why the whole step lives inside it).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from vllm_hymeta_tpu.config import HymetaConfig
+from vllm_hymeta_tpu.models import get_model
+from vllm_hymeta_tpu.parallel import sharding
+from vllm_hymeta_tpu.parallel.pctx import ParallelCtx
+
+REPL = P()
+
+
+def _shard_map(fn, mesh, in_specs, out_specs):
+    return jax.shard_map(fn, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs, check_vma=False)
+
+
+def build_prefill(cfg, mesh: Mesh, params: dict, cache: dict,
+                  meta: Optional[dict], T: int):
+    """Returns jitted prefill(params, meta, cache, tokens, slot, pos0,
+    n_valid) -> (logits [V], cache)."""
+    model = get_model(cfg)
+    is_hymeta = isinstance(cfg, HymetaConfig)
+    pctx = ParallelCtx(model_axis="model", data_axis="data")
+    pspecs = sharding.param_specs(cfg, params)
+    cspecs = sharding.cache_specs(cache)
+    mspecs = sharding.meta_specs(meta) if meta is not None else None
+
+    def local(params, meta, cache, tokens, slot, pos0, n_valid):
+        if is_hymeta:
+            return model.prefill(cfg, params, meta, cache, tokens, slot,
+                                 pos0, n_valid, pctx=pctx)
+        return model.prefill(cfg, params, cache, tokens, slot, pos0,
+                             n_valid, pctx=pctx)
+
+    sm = _shard_map(
+        local, mesh,
+        in_specs=(pspecs, mspecs, cspecs, REPL, REPL, REPL, REPL),
+        out_specs=(REPL, cspecs))
+    return jax.jit(sm, donate_argnums=(2,))
+
+
+def build_decode(cfg, mesh: Mesh, params: dict, cache: dict,
+                 meta: Optional[dict]):
+    """Returns jitted decode(params, meta, cache, tokens, positions,
+    active) -> (logits [S, V], cache)."""
+    model = get_model(cfg)
+    is_hymeta = isinstance(cfg, HymetaConfig)
+    pctx = ParallelCtx(model_axis="model", data_axis="data")
+    pspecs = sharding.param_specs(cfg, params)
+    cspecs = sharding.cache_specs(cache)
+    mspecs = sharding.meta_specs(meta) if meta is not None else None
+
+    def local(params, meta, cache, tokens, positions, active):
+        if is_hymeta:
+            return model.decode(cfg, params, meta, cache, tokens,
+                                positions, active, pctx=pctx)
+        return model.decode(cfg, params, cache, tokens, positions,
+                            active, pctx=pctx)
+
+    sm = _shard_map(
+        local, mesh,
+        in_specs=(pspecs, mspecs, cspecs, P("data"), P("data"), P("data")),
+        out_specs=(P("data", None), cspecs))
+    return jax.jit(sm, donate_argnums=(2,))
+
+
+def place_all(cfg, mesh: Mesh, params: dict, cache: dict,
+              meta: Optional[dict]):
+    """device_put params/cache/meta with their shardings."""
+    pspecs = sharding.param_specs(cfg, params)
+    cspecs = sharding.cache_specs(cache)
+    params = sharding.place(mesh, params, pspecs)
+    cache = sharding.place(mesh, cache, cspecs)
+    if meta is not None:
+        meta = sharding.place(mesh, meta, sharding.meta_specs(meta))
+    return params, cache, meta
