@@ -1,0 +1,108 @@
+"""Benchmark harness — prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Protocol mirrors the reference's headline measurement
+(`hf_7B_model/speed_7B.py:44-177` / BASELINE.md): latency to generate 128
+new tokens after a long prompt, mean over runs after warmup.
+
+Default config: the real 7B GLAswa architecture with W8A8 weights
+(BASELINE.json config #2) on one TPU chip, 32k prompt.  Baseline number:
+7B HF bf16 on 1 GPU, 32k -> 128 tok = 2332 ms (speed_7B.py:205-208);
+vs_baseline = baseline_ms / measured_ms (>1 means faster than reference).
+
+Weights are randomly initialized (no public checkpoint ships with the
+reference); latency is architecture- and kernel-bound, not value-bound.
+
+Env overrides: BENCH_PROMPT (default 32768), BENCH_GEN (128),
+BENCH_RUNS (3), BENCH_SCHEME (w8a8|gptq4|bf16), BENCH_SMALL=1 for a
+reduced-width smoke config.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(
+                          os.path.abspath(__file__)), ".jax_cache"))
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MS = {32768: 2332.0, 65536: 4680.0, 131072: 10512.0}
+
+
+def build_params(cfg, scheme: str):
+    from vllm_hymeta_tpu.models import gla_swa
+    from vllm_hymeta_tpu.quant import (quantize_params_gptq,
+                                       quantize_params_w8a8)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.bfloat16)
+        if scheme == "w8a8":
+            params = quantize_params_w8a8(params)
+        elif scheme == "gptq4":
+            params = quantize_params_gptq(params, bits=4, group_size=64)
+    return jax.device_put(params, jax.devices()[0])
+
+
+def main():
+    prompt_len = int(os.environ.get("BENCH_PROMPT", 32768))
+    gen = int(os.environ.get("BENCH_GEN", 128))
+    runs = int(os.environ.get("BENCH_RUNS", 3))
+    scheme = os.environ.get("BENCH_SCHEME", "w8a8")
+    small = os.environ.get("BENCH_SMALL") == "1"
+
+    from vllm_hymeta_tpu.config import GLAswaConfig
+    from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+    from vllm_hymeta_tpu.engine.sampler import SamplingParams
+
+    if small:
+        cfg = GLAswaConfig(vocab_size=4096, hidden_size=512,
+                           num_hidden_layers=4, num_attention_heads=8,
+                           num_key_value_heads=4, intermediate_size=1024,
+                           sliding_window=1024)
+        prompt_len = min(prompt_len, 4096)
+    else:
+        cfg = GLAswaConfig()  # real 7B dims
+
+    params = build_params(cfg, scheme)
+    ecfg = EngineConfig(max_num_seqs=1,
+                        max_model_len=prompt_len + gen + 64,
+                        prefill_chunk=8192,
+                        prefill_buckets=(8192,),
+                        kv_dtype="bfloat16")
+    eng = Engine(cfg, params, ecfg)
+
+    import numpy as np
+    rs = np.random.RandomState(0)
+    prompt = list(rs.randint(0, cfg.vocab_size, size=prompt_len))
+    sp = SamplingParams(temperature=0.0, max_tokens=gen, ignore_eos=True)
+
+    # warmup (compile)
+    eng.generate([prompt[:prompt_len]], sp)
+
+    times = []
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        [req] = eng.generate([prompt], sp)
+        times.append((time.perf_counter() - t0) * 1000.0)
+        assert len(req.output) == gen
+    mean_ms = sum(times) / len(times)
+
+    baseline = BASELINE_MS.get(prompt_len)
+    result = {
+        "metric": f"7B_{scheme}_{prompt_len//1024}k_gen{gen}_latency",
+        "value": round(mean_ms, 1),
+        "unit": "ms",
+        "vs_baseline": round(baseline / mean_ms, 3) if baseline else None,
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

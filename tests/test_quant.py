@@ -1,0 +1,99 @@
+"""Quantization pipeline tests: transforms, GPTQ pack/unpack round trip,
+quantized model end-to-end sanity."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vllm_hymeta_tpu.models import gla_swa
+from vllm_hymeta_tpu.models.layers import linear
+from vllm_hymeta_tpu.ops import quant_matmul
+from vllm_hymeta_tpu.quant import (quantize_params_gptq,
+                                   quantize_params_w8a8)
+from vllm_hymeta_tpu.quant import gptq_reader
+from tests.test_models import tiny_glaswa
+
+
+class TestGPTQReader:
+    def test_pack_convert_roundtrip(self):
+        for bits in (4, 8):
+            for zero_offset in (False, True):
+                rs = np.random.RandomState(0)
+                K, N, g = 128, 64, 32
+                w = rs.randn(K, N).astype(np.float32)
+                qw, qz, sc, gi = gptq_reader.pack_gptq_linear(
+                    w, bits, g, zero_offset)
+                dense = gptq_reader.dequant_reference(
+                    qw, qz, sc, gi, bits, zero_offset)
+                # quantization error bounded by scale/2 per element
+                max_scale = np.abs(sc.astype(np.float32)).max()
+                assert np.abs(dense - w).max() <= max_scale * 0.51 + 1e-4
+
+                p = gptq_reader.convert_gptq_linear(qw, qz, sc, gi, bits,
+                                                    zero_offset)
+                x = rs.randn(5, K).astype(np.float32)
+                y = quant_matmul.groupwise_dequant_matmul_ref(
+                    jnp.asarray(x), jnp.asarray(p["qw"]),
+                    jnp.asarray(p["scales"]), jnp.asarray(p["zeros"]))
+                np.testing.assert_allclose(np.asarray(y), x @ dense,
+                                           atol=2e-2, rtol=2e-2)
+
+
+class TestTransforms:
+    def test_w8a8_linear_close(self):
+        key = jax.random.PRNGKey(0)
+        p = {"w": jax.random.normal(key, (64, 32)) * 0.1}
+        q = quantize_params_w8a8({"x_proj": {"q_proj": p}})
+        qp = q["x_proj"]["q_proj"]
+        assert "qw" in qp and qp["qw"].dtype == jnp.int8
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 64))
+        y = linear(qp, x)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x @ p["w"]),
+                                   atol=0.02, rtol=0.05)
+
+    def test_gptq_rtn_linear_close(self):
+        key = jax.random.PRNGKey(0)
+        p = {"w": jax.random.normal(key, (128, 32)) * 0.1}
+        q = quantize_params_gptq({"a": {"up_proj": p}}, bits=4,
+                                 group_size=64)
+        qp = q["a"]["up_proj"]
+        assert qp["qw"].dtype == jnp.int8
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 128))
+        y = linear(qp, x)
+        # exact vs the dequantized weight; close-ish vs the original
+        w_deq = quant_matmul.dequant_groupwise(
+            qp["qw"], qp["scales"], qp["zeros"], dtype=jnp.float32)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w_deq),
+                                   atol=1e-4, rtol=1e-4)
+        assert np.abs(np.asarray(y - x @ p["w"])).max() < 0.5
+
+    def test_exclusions(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+        q = quantize_params_w8a8(params)
+        # lm_head / embed / norms untouched
+        assert "w" in q["lm_head"]
+        assert "w" in q["embed"]
+        # gk_proj excluded (7B GPTQ pipeline excludes it)
+        gla_layer = next(l for i, l in enumerate(q["layers"])
+                         if not cfg.is_swa_layer(i))
+        assert "w" in gla_layer["attn"]["gk_a"]
+        assert "w" in gla_layer["attn"]["gk_b"]
+        # projections quantized
+        assert "qw" in gla_layer["attn"]["q_proj"]
+        assert "qw" in gla_layer["mlp"]["down_proj"]
+
+    def test_quantized_model_runs_and_tracks_bf16(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+        qparams = quantize_params_w8a8(params)
+        toks = jax.random.randint(jax.random.PRNGKey(1), (1, 12), 0, 256)
+        lf = gla_swa.forward_full(cfg, params, toks)
+        lq = gla_swa.forward_full(cfg, qparams, toks)
+        assert np.isfinite(np.asarray(lq)).all()
+        # same top-1 on a majority of positions (random tiny model is a
+        # harsh test; quantization noise flips some near-ties)
+        agree = (np.asarray(lf.argmax(-1)) == np.asarray(lq.argmax(-1)))
+        assert agree.mean() >= 0.5

@@ -43,6 +43,10 @@ class EngineConfig:
     kv_dtype: str = "bfloat16"
     state_dtype: str = "float32"
     use_device_sampling: bool = True
+    # decode steps fused into one jitted program per host round-trip —
+    # the TPU analogue of the reference's multi-step decoding
+    # (`attention/meta_attention.py:338-409` advance_step)
+    decode_block: int = 8
 
 
 @dataclasses.dataclass
@@ -136,10 +140,14 @@ class Engine:
         return jfn
 
     def _decode_fn(self):
+        """Multi-token decode: `decode_block` model steps + sampling fused
+        into ONE dispatch, amortizing the host round-trip."""
         if self._compiled_decode is not None:
             return self._compiled_decode
+        n_steps = self.ecfg.decode_block
 
-        def fn(params, meta, cache, samp, tokens, positions, active, key):
+        def one_step(params, meta, cache, samp, tokens, positions, active,
+                     key):
             if self.is_hymeta:
                 logits, cache = self.model.decode(
                     self.cfg, params, meta, cache, tokens, positions, active)
@@ -152,11 +160,31 @@ class Engine:
             ids = sampler_lib.sample(
                 logits, key, samp["temperature"], samp["top_k"],
                 samp["top_p"])
+            ids = jnp.where(active, ids, tokens)
             samp = dict(samp)
-            samp["seen"] = samp["seen"].at[jnp.arange(ids.shape[0]), ids].set(
-                jnp.where(active, True,
-                          samp["seen"][jnp.arange(ids.shape[0]), ids]))
+            seen_rows = samp["seen"][jnp.arange(ids.shape[0]), ids]
+            samp["seen"] = samp["seen"].at[
+                jnp.arange(ids.shape[0]), ids].set(
+                jnp.where(active, True, seen_rows))
             return ids, cache, samp
+
+        def fn(params, meta, cache, samp, tokens, positions, active, key):
+            S = tokens.shape[0]
+            out0 = jnp.zeros((S, n_steps), jnp.int32)
+
+            def body(i, carry):
+                tokens, positions, cache, samp, out = carry
+                ids, cache, samp = one_step(
+                    params, meta, cache, samp, tokens, positions, active,
+                    jax.random.fold_in(key, i))
+                out = out.at[:, i].set(ids)
+                positions = positions + active.astype(jnp.int32)
+                return (ids, positions, cache, samp, out)
+
+            tokens, positions, cache, samp, out = jax.lax.fori_loop(
+                0, n_steps, body,
+                (tokens, positions, cache, samp, out0))
+            return out, cache, samp
 
         self._compiled_decode = jax.jit(fn, donate_argnums=(2, 3))
         return self._compiled_decode
@@ -251,7 +279,7 @@ class Engine:
                     self.active[pre.slot] = True
             return finished
 
-        # decode step for all active slots
+        # decode block for all active slots (decode_block tokens/dispatch)
         if not any(self.active):
             return finished
         S = self.ecfg.max_num_seqs
@@ -261,17 +289,21 @@ class Engine:
                 tokens[slot] = req.output[-1]
         self.rng, k = jax.random.split(self.rng)
         fn = self._decode_fn()
+        was_active = self.active.copy()
         ids, self.cache, self.samp_state = fn(
             self.params, self.meta, self.cache, self.samp_state,
             jnp.asarray(tokens), jnp.asarray(self.positions.astype(np.int32)),
             jnp.asarray(self.active), k)
-        ids = np.asarray(ids)
+        ids = np.asarray(ids)  # [S, decode_block]
         for slot in list(self.slot_req):
             req = self.slot_req[slot]
-            if not self.active[slot]:
+            if not was_active[slot]:
                 continue
-            self.positions[slot] += 1
-            self._emit(req, int(ids[slot]), finished)
+            for j in range(ids.shape[1]):
+                self.positions[slot] += 1
+                self._emit(req, int(ids[slot, j]), finished)
+                if req.finished:
+                    break
         return finished
 
     def _emit(self, req: Request, tok: int, finished: List[Request]):

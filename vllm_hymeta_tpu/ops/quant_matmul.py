@@ -171,7 +171,8 @@ def _w8a8_kernel(qx_ref, xs_ref, qw_ref, ws_ref, o_ref, acc_ref, *,
         o_ref[:] = y.astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
+@functools.partial(jax.jit,
+                   static_argnames=("out_dtype", "bm", "bn", "bk"))
 def _w8a8_matmul_pallas(qx, x_scale, qw, w_scale, out_dtype,
                         bm: int = 256, bn: int = 512, bk: int = 512):
     M, K = qx.shape
@@ -216,7 +217,8 @@ def w8a8_matmul(x, qw, w_scale):
             pad = 32 - M % 32
             qx = jnp.pad(qx, ((0, pad), (0, 0)))
             x_scale = jnp.pad(x_scale, ((0, pad), (0, 0)))
-        y = _w8a8_matmul_pallas(qx, x_scale, qw, w_scale, x.dtype)[:orig_m]
+        y = _w8a8_matmul_pallas(qx, x_scale, qw, w_scale,
+                                out_dtype=jnp.dtype(x.dtype))[:orig_m]
     else:
         y = w8a8_matmul_ref(x2, qw, w_scale)
     return y.reshape(*shape[:-1], qw.shape[1])

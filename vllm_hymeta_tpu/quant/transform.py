@@ -1,0 +1,123 @@
+"""Parameter-tree quantization transforms.
+
+These produce the runtime layouts consumed by ops/quant_matmul (see
+models/layers.linear dispatch):
+  gptq:  {"qw": int8 [K, N], "scales": [K/g, N], "zeros": [K/g, N]}
+  w8a8:  {"qw": int8 [K, N], "w_scale": [N]}
+
+Exclusion rules mirror the reference pipelines: lm_head never quantized
+(`hf_model/quant_w8a8.py:96` ignore=["lm_head"]), gk_proj excluded for the
+7B (`hf_7B_model/quant_7B.py:15`, `gla_swa_gptq.py:8-24`), norms and
+embeddings untouched.
+"""
+
+from __future__ import annotations
+
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+
+DEFAULT_EXCLUDE = ("lm_head", "gk_a", "gk_b", "g_norm", "norm", "embed",
+                   "gate")  # "gate" = MoE router; mlp gate_proj is matched
+                            # by its full name below
+
+
+def _should_quantize(path: Tuple[str, ...], w: jax.Array,
+                     exclude: Tuple[str, ...]) -> bool:
+    if w.ndim != 2:
+        return False
+    name = "/".join(str(p) for p in path)
+    leaf = path[-2] if len(path) >= 2 else ""
+    if leaf == "gate" or "embed" in name or "lm_head" in name:
+        return False
+    for e in exclude:
+        if e in ("gate", "embed", "lm_head"):
+            continue
+        if e in name:
+            return False
+    return any(k in name for k in
+               ("q_proj", "k_proj", "v_proj", "o_proj", "out_proj",
+                "gate_proj", "up_proj", "down_proj"))
+
+
+def _walk(tree, path=()):
+    if isinstance(tree, dict):
+        for k, v in tree.items():
+            yield from _walk(v, path + (k,))
+    elif isinstance(tree, list):
+        for i, v in enumerate(tree):
+            yield from _walk(v, path + (i,))
+    else:
+        yield path, tree
+
+
+def _get(tree, path):
+    for p in path:
+        tree = tree[p]
+    return tree
+
+
+def _set(tree, path, val):
+    for p in path[:-1]:
+        tree = tree[p]
+    tree[path[-1]] = val
+
+
+def quantize_params_w8a8(params: dict,
+                         exclude: Tuple[str, ...] = DEFAULT_EXCLUDE) -> dict:
+    """Symmetric per-output-channel INT8 weight quantization; activations
+    are quantized per-token at runtime (ops/quant_matmul.w8a8_matmul)."""
+    import copy
+    out = copy.deepcopy(jax.tree.map(lambda x: x, params))
+
+    for path, w in list(_walk(params)):
+        if path[-1] != "w" or not _should_quantize(path, w, exclude):
+            continue
+        wf = w.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
+        qw = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+        parent = _get(out, path[:-1])
+        del parent["w"]
+        parent["qw"] = qw
+        parent["w_scale"] = scale
+    return out
+
+
+def quantize_params_gptq(params: dict, bits: int = 4, group_size: int = 64,
+                         exclude: Tuple[str, ...] = DEFAULT_EXCLUDE) -> dict:
+    """Round-to-nearest group-wise asymmetric weight quantization in the
+    GPTQ runtime layout (per-group scale+zero, group_size along the input
+    dim — matching gptqmodel's `QuantizeConfig(bits, group_size=64)`,
+    `hf_7B_model/quant_7B.py:13-36`).
+
+    This is the RTN fallback for checkpoints that were never GPTQ-processed
+    (e.g. random benchmark weights); real GPTQ checkpoints load through
+    quant/gptq_reader.py preserving their optimized scales/zeros.
+    """
+    import copy
+    out = copy.deepcopy(jax.tree.map(lambda x: x, params))
+    qmax = 2 ** bits - 1
+
+    for path, w in list(_walk(params)):
+        if path[-1] != "w" or not _should_quantize(path, w, exclude):
+            continue
+        K, N = w.shape
+        g = group_size
+        if K % g != 0:
+            continue
+        wf = w.astype(jnp.float32).reshape(K // g, g, N)
+        wmin = jnp.min(wf, axis=1)
+        wmax = jnp.max(wf, axis=1)
+        scale = jnp.maximum(wmax - wmin, 1e-8) / qmax
+        zero = jnp.round(-wmin / scale)
+        q = jnp.clip(jnp.round(wf / scale[:, None, :])
+                     + zero[:, None, :], 0, qmax)
+        parent = _get(out, path[:-1])
+        del parent["w"]
+        # stored zero-centered int8 so the MXU int8 path applies directly
+        parent["qw"] = (q - (qmax + 1) // 2).astype(
+            jnp.int8).reshape(K, N)
+        parent["scales"] = scale
+        parent["zeros"] = zero - (qmax + 1) // 2
+    return out

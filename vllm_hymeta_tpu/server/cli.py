@@ -1,0 +1,100 @@
+"""CLI: `python -m vllm_hymeta_tpu.server.cli serve|bench ...`
+
+Mirrors the reference's deployment surface (`readme.md:110-173`):
+  serve MODEL --max-model-len 32768 --max-num-seqs 8 --port 8000
+        [--quantization w8a8|gptq4] [--kv-cache-dtype int8]
+  bench MODEL --prompt-len 32768 --gen 128 [--runs 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+
+def _load(args):
+    import jax
+    import jax.numpy as jnp
+    from vllm_hymeta_tpu.config import load_config
+    from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+    from vllm_hymeta_tpu import weights as weights_lib
+    from vllm_hymeta_tpu.models import get_model
+
+    cfg = load_config(args.model)
+    if args.random_weights:
+        model = get_model(cfg)
+        params = model.init_params(cfg, jax.random.PRNGKey(0),
+                                   dtype=jnp.bfloat16)
+    else:
+        params = weights_lib.load_checkpoint(cfg, args.model)
+    if args.quantization == "w8a8":
+        from vllm_hymeta_tpu.quant import quantize_params_w8a8
+        params = quantize_params_w8a8(params)
+    elif args.quantization == "gptq4":
+        from vllm_hymeta_tpu.quant import quantize_params_gptq
+        params = quantize_params_gptq(params)
+    ecfg = EngineConfig(max_num_seqs=args.max_num_seqs,
+                        max_model_len=args.max_model_len,
+                        kv_dtype=args.kv_cache_dtype)
+    return cfg, Engine(cfg, params, ecfg)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="vllm-hymeta-tpu")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common(sp):
+        sp.add_argument("model")
+        sp.add_argument("--max-model-len", type=int, default=32768)
+        sp.add_argument("--max-num-seqs", type=int, default=8)
+        sp.add_argument("--quantization", default=None,
+                        choices=[None, "w8a8", "gptq4"])
+        sp.add_argument("--kv-cache-dtype", default="bfloat16",
+                        choices=["bfloat16", "int8"])
+        sp.add_argument("--random-weights", action="store_true",
+                        help="skip checkpoint load (benchmarking)")
+
+    ps = sub.add_parser("serve")
+    common(ps)
+    ps.add_argument("--host", default="0.0.0.0")
+    ps.add_argument("--port", type=int, default=8000)
+
+    pb = sub.add_parser("bench")
+    common(pb)
+    pb.add_argument("--prompt-len", type=int, default=32768)
+    pb.add_argument("--gen", type=int, default=128)
+    pb.add_argument("--runs", type=int, default=3)
+
+    args = p.parse_args(argv)
+
+    if args.cmd == "serve":
+        from vllm_hymeta_tpu.engine.api import _try_load_tokenizer
+        from vllm_hymeta_tpu.server.openai_server import serve
+        cfg, eng = _load(args)
+        tok = _try_load_tokenizer(args.model)
+        print(f"serving {args.model} on {args.host}:{args.port}")
+        serve(eng, tok, args.host, args.port)
+    elif args.cmd == "bench":
+        import numpy as np
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        cfg, eng = _load(args)
+        rs = np.random.RandomState(0)
+        prompt = list(rs.randint(0, cfg.vocab_size, size=args.prompt_len))
+        sp = SamplingParams(temperature=0.0, max_tokens=args.gen,
+                            ignore_eos=True)
+        eng.generate([prompt], sp)  # warmup/compile
+        times = []
+        for _ in range(args.runs):
+            t0 = time.perf_counter()
+            eng.generate([prompt], sp)
+            times.append((time.perf_counter() - t0) * 1000)
+        print(json.dumps({
+            "prompt_len": args.prompt_len, "gen": args.gen,
+            "mean_ms": sum(times) / len(times),
+            "runs_ms": [round(t, 1) for t in times]}))
+
+
+if __name__ == "__main__":
+    main()

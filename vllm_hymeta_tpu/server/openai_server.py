@@ -1,0 +1,190 @@
+"""OpenAI-compatible HTTP server (stdlib-only; no extra deps).
+
+Mirrors the endpoint surface the reference serves through vLLM
+(`readme.md:144-152`, `test_vllm/call_api.py:33-46`):
+  POST /v1/completions        {model, prompt, max_tokens, temperature, ...}
+  POST /v1/chat/completions   {model, messages, ...}
+  GET  /v1/models
+  GET  /health
+
+A background scheduler thread drives Engine.step() continuously
+(continuous batching across concurrent HTTP requests); handler threads
+enqueue requests and wait on per-request events.
+"""
+
+from __future__ import annotations
+
+import json
+import threading
+import time
+import uuid
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+from vllm_hymeta_tpu.engine.sampler import SamplingParams
+
+
+class ServingEngine:
+    """Thread-safe wrapper: one engine-stepping thread, many submitters."""
+
+    def __init__(self, engine, tokenizer=None, model_name: str = "hymeta"):
+        self.engine = engine
+        self.tokenizer = tokenizer
+        self.model_name = model_name
+        self.lock = threading.Lock()
+        self.events: Dict[int, threading.Event] = {}
+        self.results: Dict[int, object] = {}
+        self.running = True
+        self.thread = threading.Thread(target=self._loop, daemon=True)
+        self.thread.start()
+
+    def _loop(self):
+        while self.running:
+            with self.lock:
+                has_work = self.engine.has_work()
+                finished = self.engine.step() if has_work else []
+            for req in finished:
+                self.results[req.req_id] = req
+                ev = self.events.pop(req.req_id, None)
+                if ev:
+                    ev.set()
+            if not has_work:
+                time.sleep(0.005)
+
+    def submit(self, prompt_tokens, params: SamplingParams, timeout=600.0):
+        ev = threading.Event()
+        with self.lock:
+            rid = self.engine.add_request(prompt_tokens, params)
+            self.events[rid] = ev
+        if not ev.wait(timeout):
+            raise TimeoutError(f"request {rid} timed out")
+        return self.results.pop(rid)
+
+    def shutdown(self):
+        self.running = False
+        self.thread.join(timeout=5)
+
+
+def _params_from_body(body: dict) -> SamplingParams:
+    return SamplingParams(
+        temperature=float(body.get("temperature", 1.0)),
+        top_p=float(body.get("top_p", 1.0)),
+        top_k=int(body.get("top_k", 0)),
+        repetition_penalty=float(body.get("repetition_penalty", 1.0)),
+        max_tokens=int(body.get("max_tokens", 128)),
+        ignore_eos=bool(body.get("ignore_eos", False)),
+    )
+
+
+def make_handler(serving: ServingEngine):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, *a):  # quiet
+            pass
+
+        def _json(self, code: int, obj: dict):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            if self.path == "/health":
+                self._json(200, {"status": "ok"})
+            elif self.path == "/v1/models":
+                self._json(200, {"object": "list", "data": [{
+                    "id": serving.model_name, "object": "model",
+                    "owned_by": "vllm-hymeta-tpu"}]})
+            else:
+                self._json(404, {"error": "not found"})
+
+        def do_POST(self):
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if self.path == "/v1/completions":
+                    self._completions(body)
+                elif self.path == "/v1/chat/completions":
+                    self._chat(body)
+                else:
+                    self._json(404, {"error": "not found"})
+            except Exception as e:  # noqa: BLE001
+                self._json(500, {"error": str(e)})
+
+        def _encode(self, text):
+            tok = serving.tokenizer
+            if tok is None:
+                raise ValueError("no tokenizer loaded; pass token ids "
+                                 "via 'prompt_token_ids'")
+            return tok.encode(text)
+
+        def _decode(self, ids):
+            tok = serving.tokenizer
+            return tok.decode(ids) if tok is not None else None
+
+        def _completions(self, body: dict):
+            if "prompt_token_ids" in body:
+                ids = list(body["prompt_token_ids"])
+            else:
+                prompt = body.get("prompt", "")
+                if isinstance(prompt, list):
+                    prompt = prompt[0]
+                ids = self._encode(prompt)
+            req = serving.submit(ids, _params_from_body(body))
+            text = self._decode(req.output)
+            self._json(200, {
+                "id": f"cmpl-{uuid.uuid4().hex[:24]}",
+                "object": "text_completion",
+                "created": int(time.time()),
+                "model": serving.model_name,
+                "choices": [{
+                    "index": 0,
+                    "text": text if text is not None else "",
+                    "token_ids": req.output,
+                    "finish_reason": req.finish_reason,
+                }],
+                "usage": {
+                    "prompt_tokens": len(ids),
+                    "completion_tokens": len(req.output),
+                    "total_tokens": len(ids) + len(req.output),
+                },
+            })
+
+        def _chat(self, body: dict):
+            msgs = body.get("messages", [])
+            tok = serving.tokenizer
+            if tok is not None and hasattr(tok, "apply_chat_template"):
+                ids = tok.apply_chat_template(msgs,
+                                              add_generation_prompt=True)
+            else:
+                text = "\n".join(f"{m.get('role')}: {m.get('content')}"
+                                 for m in msgs) + "\nassistant:"
+                ids = self._encode(text)
+            req = serving.submit(list(ids), _params_from_body(body))
+            text = self._decode(req.output)
+            self._json(200, {
+                "id": f"chatcmpl-{uuid.uuid4().hex[:24]}",
+                "object": "chat.completion",
+                "created": int(time.time()),
+                "model": serving.model_name,
+                "choices": [{
+                    "index": 0,
+                    "message": {"role": "assistant",
+                                "content": text if text is not None else "",
+                                "token_ids": req.output},
+                    "finish_reason": req.finish_reason,
+                }],
+            })
+
+    return Handler
+
+
+def serve(engine, tokenizer=None, host: str = "0.0.0.0", port: int = 8000,
+          model_name: str = "hymeta"):
+    serving = ServingEngine(engine, tokenizer, model_name)
+    httpd = ThreadingHTTPServer((host, port), make_handler(serving))
+    try:
+        httpd.serve_forever()
+    finally:
+        serving.shutdown()
