@@ -36,14 +36,13 @@ from vllm_hymeta_tpu.config import GLAswaConfig, HymetaConfig
 
 
 def _iter_checkpoint_tensors(path: str) -> Iterator[Tuple[str, np.ndarray]]:
-    """Stream (name, array) from safetensors (preferred) or torch .bin."""
+    """Stream (name, array) from safetensors (preferred; zero-copy via the
+    native C++ mmap reader when built — csrc/) or torch .bin."""
     st_files = sorted(glob.glob(os.path.join(path, "*.safetensors")))
     if st_files:
-        from safetensors import safe_open
+        from vllm_hymeta_tpu.native import safetensors as native_st
         for f in st_files:
-            with safe_open(f, framework="np") as sf:
-                for name in sf.keys():
-                    yield name, sf.get_tensor(name)
+            yield from native_st.iter_tensors(f)
         return
     bin_files = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
     if not bin_files:
