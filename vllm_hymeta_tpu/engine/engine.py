@@ -106,6 +106,7 @@ class Engine:
 
         self._compiled_prefill = {}
         self._compiled_decode = None
+        self._compiled_start = None
 
     # ------------------------------------------------------------------ api
 
@@ -123,21 +124,60 @@ class Engine:
     # ------------------------------------------------------- step functions
 
     def _prefill_fn(self, bucket: int):
+        """Prefill chunk + on-device first-token sampling in one program
+        (the sampled id is only consumed by the host on the final chunk)."""
         if bucket in self._compiled_prefill:
             return self._compiled_prefill[bucket]
 
-        if self.is_hymeta:
-            def fn(params, meta, cache, tokens, slot, pos0, n_valid):
-                return self.model.prefill(self.cfg, params, meta, cache,
-                                          tokens, slot, pos0, n_valid)
-            jfn = jax.jit(fn, donate_argnums=(2,))
-        else:
-            def fn(params, meta, cache, tokens, slot, pos0, n_valid):
-                return self.model.prefill(self.cfg, params, cache,
-                                          tokens, slot, pos0, n_valid)
-            jfn = jax.jit(fn, donate_argnums=(2,))
+        def fn(params, meta, cache, samp, tokens, slot, pos0, n_valid,
+               key):
+            if self.is_hymeta:
+                logits, cache = self.model.prefill(
+                    self.cfg, params, meta, cache, tokens, slot, pos0,
+                    n_valid)
+            else:
+                logits, cache = self.model.prefill(
+                    self.cfg, params, cache, tokens, slot, pos0, n_valid)
+            lg = logits.astype(jnp.float32)[None]
+            lg = sampler_lib.apply_repetition_penalty(
+                lg, samp["seen"][slot][None], samp["rep_penalty"][slot][None])
+            tok = sampler_lib.sample(
+                lg, key, samp["temperature"][slot][None],
+                samp["top_k"][slot][None], samp["top_p"][slot][None])[0]
+            return tok, cache
+
+        jfn = jax.jit(fn, donate_argnums=(2,))
         self._compiled_prefill[bucket] = jfn
         return jfn
+
+    def _start_fn(self):
+        """Slot (re)initialization fused into one dispatch: clear caches,
+        seed the 70B meta GLA state, set per-slot sampling params."""
+        if self._compiled_start is not None:
+            return self._compiled_start
+
+        def fn(cache, samp, meta, slot, temperature, top_k, top_p,
+               rep_penalty):
+            layers = []
+            for i, lc in enumerate(cache["layers"]):
+                lc = dict(lc)
+                for key in lc:
+                    zero = jnp.zeros_like(lc[key][slot])
+                    if key == "state" and self.is_hymeta:
+                        zero = meta["state"][i].astype(lc[key].dtype)
+                    lc[key] = lc[key].at[slot].set(zero)
+                layers.append(lc)
+            samp = {
+                "temperature": samp["temperature"].at[slot].set(temperature),
+                "top_k": samp["top_k"].at[slot].set(top_k),
+                "top_p": samp["top_p"].at[slot].set(top_p),
+                "rep_penalty": samp["rep_penalty"].at[slot].set(rep_penalty),
+                "seen": samp["seen"].at[slot].set(False),
+            }
+            return {**cache, "layers": layers}, samp
+
+        self._compiled_start = jax.jit(fn, donate_argnums=(0, 1))
+        return self._compiled_start
 
     def _decode_fn(self):
         """Multi-token decode: `decode_block` model steps + sampling fused
@@ -202,27 +242,12 @@ class Engine:
         req.slot = slot
         self.slot_req[slot] = req
         self.positions[slot] = 0
-        # clear slot state (new-prefill semantics) + seed 70B GLA state
-        self.cache = cache_lib.clear_slot(self.cache, slot)
-        if self.is_hymeta:
-            layers = []
-            for i, lc in enumerate(self.cache["layers"]):
-                lc = dict(lc)
-                lc["state"] = lc["state"].at[slot].set(
-                    self.meta["state"][i].astype(lc["state"].dtype))
-                layers.append(lc)
-            self.cache = {**self.cache, "layers": layers}
-        # sampling state
         p = req.params
-        s = self.samp_state
-        self.samp_state = {
-            "temperature": s["temperature"].at[slot].set(p.temperature),
-            "top_k": s["top_k"].at[slot].set(p.top_k),
-            "top_p": s["top_p"].at[slot].set(p.top_p),
-            "rep_penalty": s["rep_penalty"].at[slot].set(
-                p.repetition_penalty),
-            "seen": s["seen"].at[slot].set(False),
-        }
+        fn = self._start_fn()
+        self.cache, self.samp_state = fn(
+            self.cache, self.samp_state, self.meta, jnp.int32(slot),
+            jnp.float32(p.temperature), jnp.int32(p.top_k),
+            jnp.float32(p.top_p), jnp.float32(p.repetition_penalty))
 
     def _finish(self, req: Request, reason: str):
         req.finished = True
@@ -256,25 +281,15 @@ class Engine:
             tokens = np.zeros((bucket,), np.int32)
             tokens[:n] = toks
             fn = self._prefill_fn(bucket)
-            logits, self.cache = fn(
-                self.params, self.meta, self.cache,
+            self.rng, k = jax.random.split(self.rng)
+            tok_dev, self.cache = fn(
+                self.params, self.meta, self.cache, self.samp_state,
                 jnp.asarray(tokens), jnp.int32(pre.slot),
-                jnp.int32(pre.prefill_done), jnp.int32(n))
+                jnp.int32(pre.prefill_done), jnp.int32(n), k)
             pre.prefill_done += n
             self.positions[pre.slot] = pre.prefill_done
             if pre.prefill_done >= len(pre.prompt):
-                # sample the first generated token from prefill logits
-                self.rng, k = jax.random.split(self.rng)
-                logits = logits.astype(jnp.float32)[None]
-                s = self.samp_state
-                slot = pre.slot
-                logits = sampler_lib.apply_repetition_penalty(
-                    logits, s["seen"][slot][None],
-                    s["rep_penalty"][slot][None])
-                tok = int(sampler_lib.sample(
-                    logits, k, s["temperature"][slot][None],
-                    s["top_k"][slot][None], s["top_p"][slot][None])[0])
-                self._emit(pre, tok, finished)
+                self._emit(pre, int(tok_dev), finished)
                 if not pre.finished:
                     self.active[pre.slot] = True
             return finished
