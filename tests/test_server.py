@@ -1,0 +1,92 @@
+"""OpenAI-compatible server tests (in-process HTTP over a tiny model)."""
+
+import http.client
+import json
+import threading
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+from vllm_hymeta_tpu.models import gla_swa
+from vllm_hymeta_tpu.server.openai_server import (ServingEngine,
+                                                  make_handler)
+from tests.test_models import tiny_glaswa
+
+
+@pytest.fixture(scope="module")
+def server():
+    from http.server import ThreadingHTTPServer
+    cfg = tiny_glaswa()
+    params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                 dtype=jnp.float32)
+    eng = Engine(cfg, params, EngineConfig(
+        max_num_seqs=2, max_model_len=128, prefill_chunk=16,
+        prefill_buckets=(16,), decode_block=4))
+    serving = ServingEngine(eng, tokenizer=None, model_name="tiny")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(serving))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port
+    httpd.shutdown()
+    serving.shutdown()
+
+
+def _post(port, path, body):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=300)
+    conn.request("POST", path, json.dumps(body),
+                 {"Content-Type": "application/json"})
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+def _get(port, path):
+    conn = http.client.HTTPConnection("127.0.0.1", port, timeout=60)
+    conn.request("GET", path)
+    r = conn.getresponse()
+    return r.status, json.loads(r.read())
+
+
+class TestServer:
+    def test_health_and_models(self, server):
+        st, body = _get(server, "/health")
+        assert st == 200 and body["status"] == "ok"
+        st, body = _get(server, "/v1/models")
+        assert st == 200 and body["data"][0]["id"] == "tiny"
+
+    def test_completion_with_token_ids(self, server):
+        st, body = _post(server, "/v1/completions", {
+            "prompt_token_ids": [1, 2, 3, 4, 5],
+            "max_tokens": 4, "temperature": 0.0, "ignore_eos": True})
+        assert st == 200, body
+        ch = body["choices"][0]
+        assert len(ch["token_ids"]) == 4
+        assert body["usage"]["completion_tokens"] == 4
+
+    def test_concurrent_requests(self, server):
+        results = []
+
+        def hit(seed):
+            st, body = _post(server, "/v1/completions", {
+                "prompt_token_ids": list(range(1 + seed, 8 + seed)),
+                "max_tokens": 3, "temperature": 0.0, "ignore_eos": True})
+            results.append((st, body))
+
+        ts = [threading.Thread(target=hit, args=(i,)) for i in range(3)]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join(timeout=300)
+        assert len(results) == 3
+        for st, body in results:
+            assert st == 200
+            assert len(body["choices"][0]["token_ids"]) == 3
+
+    def test_string_prompt_without_tokenizer_errors(self, server):
+        st, body = _post(server, "/v1/completions", {
+            "prompt": "hello", "max_tokens": 2})
+        assert st == 500 and "tokenizer" in body["error"]
