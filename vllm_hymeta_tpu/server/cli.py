@@ -67,6 +67,14 @@ def main(argv=None):
     pb.add_argument("--gen", type=int, default=128)
     pb.add_argument("--runs", type=int, default=3)
 
+    pt = sub.add_parser("throughput",
+                        help="sonnet-style continuous-batching throughput "
+                             "(readme.md:160-173 protocol)")
+    common(pt)
+    pt.add_argument("--num-prompts", type=int, default=64)
+    pt.add_argument("--input-len", type=int, default=1024)
+    pt.add_argument("--output-len", type=int, default=128)
+
     args = p.parse_args(argv)
 
     if args.cmd == "serve":
@@ -94,6 +102,31 @@ def main(argv=None):
             "prompt_len": args.prompt_len, "gen": args.gen,
             "mean_ms": sum(times) / len(times),
             "runs_ms": [round(t, 1) for t in times]}))
+    elif args.cmd == "throughput":
+        import numpy as np
+        from vllm_hymeta_tpu.engine.metrics import EngineMetrics
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        cfg, eng = _load(args)
+        metrics = EngineMetrics(eng)
+        rs = np.random.RandomState(0)
+        prompts = [list(rs.randint(0, cfg.vocab_size,
+                                   size=args.input_len))
+                   for _ in range(args.num_prompts)]
+        sp = SamplingParams(temperature=0.0, max_tokens=args.output_len,
+                            ignore_eos=True)
+        # warmup on one prompt
+        eng.generate([prompts[0]], sp)
+        t0 = time.perf_counter()
+        eng.generate(prompts, sp)
+        dt = time.perf_counter() - t0
+        total = args.num_prompts * (args.input_len + args.output_len)
+        print(json.dumps({
+            "num_prompts": args.num_prompts,
+            "elapsed_s": round(dt, 2),
+            "total_tokens_per_s": round(total / dt, 1),
+            "output_tokens_per_s": round(
+                args.num_prompts * args.output_len / dt, 1),
+            "metrics": metrics.to_dict()}))
 
 
 if __name__ == "__main__":

@@ -28,7 +28,9 @@ class ServingEngine:
     """Thread-safe wrapper: one engine-stepping thread, many submitters."""
 
     def __init__(self, engine, tokenizer=None, model_name: str = "hymeta"):
+        from vllm_hymeta_tpu.engine.metrics import EngineMetrics
         self.engine = engine
+        self.metrics = EngineMetrics(engine)
         self.tokenizer = tokenizer
         self.model_name = model_name
         self.lock = threading.Lock()
@@ -92,6 +94,8 @@ def make_handler(serving: ServingEngine):
         def do_GET(self):
             if self.path == "/health":
                 self._json(200, {"status": "ok"})
+            elif self.path == "/metrics":
+                self._json(200, serving.metrics.to_dict())
             elif self.path == "/v1/models":
                 self._json(200, {"object": "list", "data": [{
                     "id": serving.model_name, "object": "model",
