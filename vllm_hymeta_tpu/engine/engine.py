@@ -43,6 +43,8 @@ class EngineConfig:
     kv_dtype: str = "bfloat16"
     state_dtype: str = "float32"
     use_device_sampling: bool = True
+    # merge q/k/v (+both 70B branches) and gate/up into single matmuls
+    fuse_projections: bool = True
     # decode steps fused into one jitted program per host round-trip —
     # the TPU analogue of the reference's multi-step decoding
     # (`attention/meta_attention.py:338-409` advance_step)
@@ -76,6 +78,10 @@ class Engine:
         if self.is_hymeta and meta is None:
             meta = self.model.precompute_meta(cfg, params)
         self.meta = meta
+        if self.ecfg.fuse_projections:
+            from vllm_hymeta_tpu.models import common as _common
+            self.params = _common.fuse_params(cfg, params)
+            params = self.params
 
         cc = cache_lib.CacheConfig(
             max_num_seqs=self.ecfg.max_num_seqs,

@@ -24,11 +24,111 @@ def merge_heads(x: jax.Array) -> jax.Array:
 
 
 def project_qkv(p: dict, x: jax.Array, n_heads: int, n_kv_heads: int,
-                head_dim: int):
+    head_dim: int):
+    """Separate projections, or one fused matmul when fuse_params merged
+    them (mirrors vLLM's QKVParallelLinear, `modeling_hymeta.py:420-428`).
+    Fused layout per TP rank: [q_local | k_local | v_local]."""
+    if "qkv_proj" in p:
+        y = linear(p["qkv_proj"], x)
+        qd = n_heads * head_dim
+        kvd = n_kv_heads * head_dim
+        q, k, v = jnp.split(y, [qd, qd + kvd], axis=-1)
+        return (split_heads(q, n_heads), split_heads(k, n_kv_heads),
+                split_heads(v, n_kv_heads))
     q = split_heads(linear(p["q_proj"], x), n_heads)
     k = split_heads(linear(p["k_proj"], x), n_kv_heads)
     v = split_heads(linear(p["v_proj"], x), n_kv_heads)
     return q, k, v
+
+
+def _concat_linears(ps, tp: int = 1) -> dict:
+    """Concatenate column-parallel linear params along the output dim,
+    rank-block-interleaved so a "model"-axis shard of the result equals
+    the concat of the shards ([p0_r | p1_r | ...] per rank r)."""
+    fused: dict = {}
+
+    def cat(vals, axis):
+        if tp == 1:
+            return jnp.concatenate(vals, axis=axis)
+        blocks = []
+        for r in range(tp):
+            for v in vals:
+                n = v.shape[axis] // tp
+                blocks.append(jax.lax.slice_in_dim(v, r * n, (r + 1) * n,
+                                                   axis=axis))
+        return jnp.concatenate(blocks, axis=axis)
+
+    if all("w" in p for p in ps):
+        fused["w"] = cat([p["w"] for p in ps], 1)
+    else:  # quantized layouts: concat along N for qw/scales/zeros
+        fused["qw"] = cat([p["qw"] for p in ps], 1)
+        if "w_scale" in ps[0]:
+            fused["w_scale"] = cat([p["w_scale"] for p in ps], 0)
+        else:
+            fused["scales"] = cat([p["scales"] for p in ps], 1)
+            fused["zeros"] = cat([p["zeros"] for p in ps], 1)
+    if any("b" in p for p in ps):
+        fused["b"] = cat([p.get("b", jnp.zeros((_out_dim(p),),
+                                               _bias_dtype(ps)))
+                          for p in ps], 0)
+    return fused
+
+
+def _out_dim(p: dict) -> int:
+    return (p["w"] if "w" in p else p["qw"]).shape[1]
+
+
+def _bias_dtype(ps):
+    for p in ps:
+        if "b" in p:
+            return p["b"].dtype
+    return jnp.bfloat16
+
+
+def fuse_params(cfg, params: dict, tp: int = 1) -> dict:
+    """Merge per-layer projections into single matmuls:
+      * q/k/v (+ the 7B low-rank gate down-projection gk_a) -> qkv_proj
+      * for the 70B hybrid, BOTH branches' q/k/v -> one qkv6_proj
+      * gate/up -> gate_up_proj
+    Cuts the number of big matmuls per layer roughly in half — decode is
+    weight-read and op-overhead bound.  `tp` controls the rank-block
+    layout so "model"-axis sharding stays correct."""
+    import copy
+    from vllm_hymeta_tpu.config import HymetaConfig
+    out = copy.copy(params)
+    out["layers"] = []
+    is_hymeta = isinstance(cfg, HymetaConfig)
+    for i, lp in enumerate(params["layers"]):
+        lp = {k: (dict(v) if isinstance(v, dict) else v)
+              for k, v in lp.items()}
+        ap = dict(lp["attn"])
+        if is_hymeta:
+            sw, gl = dict(ap["swa"]), dict(ap["gla"])
+            ap["qkv6_proj"] = _concat_linears(
+                [sw["q_proj"], sw["k_proj"], sw["v_proj"],
+                 gl["q_proj"], gl["k_proj"], gl["v_proj"]], tp)
+            for key in ("q_proj", "k_proj", "v_proj"):
+                sw.pop(key)
+                gl.pop(key)
+            ap["swa"], ap["gla"] = sw, gl
+        else:
+            parts = [ap.pop("q_proj"), ap.pop("k_proj"), ap.pop("v_proj")]
+            if "gk_a" in ap and tp == 1:
+                # gk_a's low-rank output is replicated under TP, so it can
+                # only ride the fused matmul single-rank
+                parts.append(ap.pop("gk_a"))
+                ap["qkvg_proj"] = _concat_linears(parts, tp)
+            else:
+                ap["qkv_proj"] = _concat_linears(parts, tp)
+        lp["attn"] = ap
+        for mkey in ("mlp", "shared_mlp"):
+            if mkey in lp:
+                m = dict(lp[mkey])
+                m["gate_up_proj"] = _concat_linears(
+                    [m.pop("gate_proj"), m.pop("up_proj")], tp)
+                lp[mkey] = m
+        out["layers"].append(lp)
+    return out
 
 
 def repeat_kv_heads(x: jax.Array, rep: int) -> jax.Array:

@@ -97,8 +97,21 @@ def _gla_qkvg(cfg: GLAswaConfig, ap: dict, x: jax.Array, pctx=NULL_CTX):
     x: [..., T, h] -> q,k [..., T, H, D], v likewise, g fp32."""
     H, Hkv = common.local_heads(cfg, pctx)
     D = cfg.head_dim
-    q, k, v = common.project_qkv(ap, x, H, Hkv, D)
-    gk = common.split_heads(linear(ap["gk_b"], linear(ap["gk_a"], x)), Hkv)
+    if "qkvg_proj" in ap:
+        # fused [q | k | v | gk_a] projection (fuse_params)
+        qd, kvd = H * D, Hkv * D
+        lr = cfg.gate_low_rank_dim // pctx.tp if False else             ap["qkvg_proj"]["b"].shape[-1] - qd - 2 * kvd             if "b" in ap["qkvg_proj"] else cfg.gate_low_rank_dim
+        y = linear(ap["qkvg_proj"], x)
+        q, k, v, gk_lr = jnp.split(
+            y, [qd, qd + kvd, qd + 2 * kvd], axis=-1)
+        q = common.split_heads(q, H)
+        k = common.split_heads(k, Hkv)
+        v = common.split_heads(v, Hkv)
+        gk = common.split_heads(linear(ap["gk_b"], gk_lr), Hkv)
+    else:
+        q, k, v = common.project_qkv(ap, x, H, Hkv, D)
+        gk = common.split_heads(
+            linear(ap["gk_b"], linear(ap["gk_a"], x)), Hkv)
     rep = H // Hkv
     k = common.repeat_kv_heads(k, rep)
     v = common.repeat_kv_heads(v, rep)

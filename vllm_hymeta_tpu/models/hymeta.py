@@ -156,12 +156,36 @@ def _layer_lower_bound(cfg: HymetaConfig, lbs: Optional[jax.Array],
     return lb.reshape(H, cfg.head_dim)
 
 
+def _project_both(cfg: HymetaConfig, ap: dict, x: jax.Array,
+                  pctx=NULL_CTX):
+    """Project both branches' q/k/v — one fused matmul when fuse_params
+    merged them (qkv6_proj), else two QKV projections.
+    Returns ((sq, sk, sv), (gq, gk, gv)) with heads split."""
+    H, Hkv = common.local_heads(cfg, pctx)
+    D = cfg.head_dim
+    if "qkv6_proj" in ap:
+        qd, kvd = H * D, Hkv * D
+        y = linear(ap["qkv6_proj"], x)
+        cuts = [qd, qd + kvd, qd + 2 * kvd, 2 * qd + 2 * kvd,
+                2 * qd + 3 * kvd]
+        sq, sk, sv, gq, gk, gv = jnp.split(y, cuts, axis=-1)
+        return ((common.split_heads(sq, H), common.split_heads(sk, Hkv),
+                 common.split_heads(sv, Hkv)),
+                (common.split_heads(gq, H), common.split_heads(gk, Hkv),
+                 common.split_heads(gv, Hkv)))
+    return (common.project_qkv(ap["swa"], x, H, Hkv, D),
+            common.project_qkv(ap["gla"], x, H, Hkv, D))
+
+
 def _gla_qkvg(cfg: HymetaConfig, gp: dict, x: jax.Array,
-              lower_bound: Optional[jax.Array], pctx=NULL_CTX):
+              lower_bound: Optional[jax.Array], pctx=NULL_CTX,
+              qkv=None):
     """70B GLA branch projections + gates. x: [..., T, h]."""
     H, Hkv = common.local_heads(cfg, pctx)
     D = cfg.head_dim
-    q, k, v = common.project_qkv(gp, x, H, Hkv, D)
+    if qkv is None:
+        qkv = common.project_qkv(gp, x, H, Hkv, D)
+    q, k, v = qkv
     rep = H // Hkv
     k = common.repeat_kv_heads(k, rep)
     v = common.repeat_kv_heads(v, rep)
@@ -364,7 +388,8 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         window = cfg.layer_window(i)
 
         # ---- SWA branch: windowed pass + metatoken pass, LSE merge
-        q, k, v = common.project_qkv(ap["swa"], y[None], H, Hkv, D)
+        swa_qkv, gla_qkv = _project_both(cfg, ap, y[None], pctx)
+        q, k, v = swa_qkv
         cos, sin = naive.rope_cos_sin(rope_pos[None], D, cfg.rope_theta)
         q = naive.apply_rope(q, cos, sin)[0]
         k = naive.apply_rope(k, cos, sin)[0]
@@ -390,7 +415,9 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
 
         # ---- GLA branch
         lb = _layer_lower_bound(cfg, lbs, i, pctx)
-        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb, pctx)
+        qg, kg, vg, g = _gla_qkvg(
+            cfg, ap["gla"], y, lb, pctx,
+            qkv=tuple(t[0] for t in gla_qkv))
         kg = jnp.where(valid[:, None, None], kg, 0.0)
         vg = jnp.where(valid[:, None, None], vg, 0.0)
         g = jnp.where(valid[:, None, None], g, 0.0)
@@ -444,7 +471,8 @@ def decode(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         window = cfg.layer_window(i)
 
         # ---- SWA branch
-        q, k, v = common.project_qkv(ap["swa"], y, H, Hkv, D)  # [S,H,D]
+        swa_qkv, gla_qkv = _project_both(cfg, ap, y, pctx)
+        q, k, v = swa_qkv                                      # [S,H,D]
         cos, sin = naive.rope_cos_sin(rope_pos, D, cfg.rope_theta)
         q = naive.apply_rope(q, cos, sin)
         k = naive.apply_rope(k, cos, sin)
@@ -457,7 +485,8 @@ def decode(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
 
         # ---- GLA branch
         lb = _layer_lower_bound(cfg, lbs, i, pctx)
-        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb, pctx)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb, pctx,
+                                  qkv=gla_qkv)
         S_old = lc["state"].astype(jnp.float32)
         o, S_new = naive.gla_decode_step(qg, kg, vg, g, S_old)
         S_new = jnp.where(active[:, None, None, None], S_new, S_old)

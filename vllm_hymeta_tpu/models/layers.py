@@ -52,9 +52,14 @@ def glu_mlp(p: dict, x: jax.Array) -> jax.Array:
     """SwiGLU MLP: down(silu(gate(x)) * up(x)).
 
     Reference: `hf_model/moe.py:9-29`, `hf_7B_model/modeling_gla_swa.py:33-54`.
+    Supports the fused gate_up layout from models.common.fuse_params.
     """
-    g = linear(p["gate_proj"], x)
-    u = linear(p["up_proj"], x)
+    if "gate_up_proj" in p:
+        gu = linear(p["gate_up_proj"], x)
+        g, u = jnp.split(gu, 2, axis=-1)
+    else:
+        g = linear(p["gate_proj"], x)
+        u = linear(p["up_proj"], x)
     return linear(p["down_proj"], jax.nn.silu(g) * u)
 
 

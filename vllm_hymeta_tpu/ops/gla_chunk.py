@@ -34,8 +34,28 @@ import jax.numpy as jnp
 SUB = 16  # sub-chunk size; exponent-safety bound, see module docstring
 
 
-@functools.partial(jax.jit, static_argnames=("scale", "chunk"))
 def gla_chunked(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    g: jax.Array,
+    initial_state: Optional[jax.Array] = None,
+    scale: Optional[float] = None,
+    chunk: int = 128,
+) -> Tuple[jax.Array, jax.Array]:
+    """Dispatcher: Pallas kernel on TPU, XLA scan elsewhere."""
+    if jax.default_backend() in ("tpu", "axon"):
+        from vllm_hymeta_tpu.ops.gla_chunk_pallas import gla_chunked_pallas
+        if q.shape[-1] == v.shape[-1] and q.shape[2] > 1:
+            return gla_chunked_pallas(q, k, v, g,
+                                      initial_state=initial_state,
+                                      scale=scale)
+    return gla_chunked_ref(q, k, v, g, initial_state=initial_state,
+                           scale=scale, chunk=chunk)
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "chunk"))
+def gla_chunked_ref(
     q: jax.Array,  # [B, H, T, Dk]
     k: jax.Array,  # [B, H, T, Dk]
     v: jax.Array,  # [B, H, T, Dv]

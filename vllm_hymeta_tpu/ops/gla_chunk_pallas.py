@@ -1,0 +1,169 @@
+"""Pallas chunked-GLA kernel (SURVEY.md N1/N2): the TPU replacement for
+fla's `fused_chunk_gla` Triton kernel.
+
+Grid (B·H, T/C): TPU grids execute sequentially per core, so the fp32
+state lives in a VMEM scratch carried across the chunk axis while the
+grid pipeline streams q/k/v/g chunks from HBM.
+
+Within a chunk everything batchable runs as full-chunk [C, ·] ops:
+  * the inclusive gate cumsum per 16-token sub-chunk is ONE
+    block-diagonal lower-triangular matmul  bl = Btri @ g
+  * the intra-sub-chunk attention is ONE [C, C] matmul masked by the same
+    block-diagonal causal pattern (cross-sub-chunk entries are garbage
+    under per-sub-chunk references and are masked; sub-chunk 16 keeps all
+    exponentials inside fp32 — the same bound fla's secondary chunking
+    uses)
+  * the per-sub-chunk state contributions  upd_i = (k·e^{Bs-bl})ᵀ @ v are
+    ONE batched dot_general
+leaving only the irreducible sequential part in the loop:
+    o_i += (q_i·e^{bl}) @ U ;  U = e^{Bs_i} ⊙ U + upd_i
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+SUB = 16
+
+
+def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
+            nc: int, ns: int, scale: float):
+    c = pl.program_id(1)
+
+    @pl.when(c == 0)
+    def _():
+        s_ref[:] = s0_ref[0]
+
+    C = q_ref.shape[1]
+    D = q_ref.shape[-1]
+    row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
+    same_sub = (row // SUB) == (col // SUB)
+    btri = jnp.where(same_sub & (row >= col), 1.0, 0.0)  # [C, C]
+
+    g = g_ref[0].astype(jnp.float32)                     # [C, D]
+    q = q_ref[0].astype(jnp.float32) * scale
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0].astype(jnp.float32)
+
+    # full fp32 precision: bl feeds exponentials, so bf16-pass matmul
+    # error would be amplified
+    bl = jax.lax.dot(btri, g, preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    # bs_rows[t] = bl[last row of t's sub-chunk] via a selection matmul
+    # (strided gathers don't lower in Mosaic)
+    sel = jnp.where(col == (row // SUB) * SUB + (SUB - 1), 1.0, 0.0)
+    bs_rows = jax.lax.dot(sel, bl, preferred_element_type=jnp.float32,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    qa = q * jnp.exp(bl)
+    ka_in = k * jnp.exp(-bl)
+    ka_up = k * jnp.exp(bs_rows - bl)
+
+    A = jax.lax.dot_general(
+        qa, ka_in, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+    A = A * btri                                         # mask + zero cross
+    o_intra = jax.lax.dot(A, v, preferred_element_type=jnp.float32)
+
+    # batched per-sub-chunk state contributions: [ns, D, D]
+    upd = jax.lax.dot_general(
+        ka_up.reshape(ns, SUB, D), v.reshape(ns, SUB, D),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)
+
+    for i in range(ns):                                  # static unroll
+        lo, hi = i * SUB, (i + 1) * SUB
+        U = s_ref[:]
+        o_inter = jax.lax.dot(qa[lo:hi, :], U,
+                              preferred_element_type=jnp.float32)
+        o_ref[0, lo:hi, :] = (o_inter + o_intra[lo:hi, :]
+                              ).astype(o_ref.dtype)
+        decay = jnp.exp(bl[hi - 1:hi, :]).T              # [D, 1]
+        s_ref[:] = decay * U + upd[i]
+
+    @pl.when(c == nc - 1)
+    def _():
+        sout_ref[0] = s_ref[:]
+
+
+@functools.partial(jax.jit, static_argnames=("scale", "chunk"))
+def gla_chunked_pallas(
+    q: jax.Array,  # [B, H, T, Dk]
+    k: jax.Array,
+    v: jax.Array,  # [B, H, T, Dv]
+    g: jax.Array,  # [B, H, T, Dk] log gates
+    initial_state: Optional[jax.Array] = None,  # [B, H, Dk, Dv] fp32
+    scale: Optional[float] = None,
+    chunk: int = 256,
+) -> Tuple[jax.Array, jax.Array]:
+    B, H, T, Dk = q.shape
+    Dv = v.shape[-1]
+    assert Dk == Dv, "kernel assumes square state"
+    if scale is None:
+        scale = Dk ** -0.5
+    C = chunk
+    assert C % SUB == 0
+    pad = (-T) % C
+    if pad:
+        zq = ((0, 0), (0, 0), (0, pad), (0, 0))
+        q = jnp.pad(q, zq)
+        k = jnp.pad(k, zq)
+        v = jnp.pad(v, zq)
+        g = jnp.pad(g, zq)
+    Tp = T + pad
+    nc = Tp // C
+    ns = C // SUB
+    BH = B * H
+
+    if initial_state is None:
+        s0 = jnp.zeros((BH, Dk, Dv), jnp.float32)
+    else:
+        s0 = initial_state.astype(jnp.float32).reshape(BH, Dk, Dv)
+
+    def flat(x):
+        return x.reshape(BH, Tp, x.shape[-1])
+
+    kernel = functools.partial(_kernel, nc=nc, ns=ns, scale=scale)
+    o, s_out = pl.pallas_call(
+        kernel,
+        grid=(BH, nc),
+        in_specs=[
+            pl.BlockSpec((1, C, Dk), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, Dk), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, Dv), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C, Dk), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dk, Dv), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, C, Dv), lambda b, c: (b, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Dk, Dv), lambda b, c: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((BH, Tp, Dv), v.dtype),
+            jax.ShapeDtypeStruct((BH, Dk, Dv), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((Dk, Dv), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=BH * Tp * (2 * C + 4 * Dk) * Dv,
+            bytes_accessed=BH * Tp * Dk * 2 * 4 + BH * Dk * Dv * 4,
+            transcendentals=BH * Tp * Dk * 3),
+    )(flat(q), flat(k), flat(v), flat(g), s0)
+
+    o = o.reshape(B, H, Tp, Dv)[:, :, :T]
+    return o, s_out.reshape(B, H, Dk, Dv)

@@ -147,8 +147,10 @@ def quantize_per_token(x: jax.Array):
 
 def w8a8_matmul_ref(x, qw, w_scale):
     qx, x_scale = quantize_per_token(x)
-    acc = jnp.dot(qx.astype(jnp.int32), qw.astype(jnp.int32),
-                  preferred_element_type=jnp.int32)
+    # int8 x int8 -> int32 natively (no widening of the weight read)
+    acc = jax.lax.dot_general(
+        qx, qw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
     y = acc.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)
     return y.astype(x.dtype)
 
@@ -209,7 +211,7 @@ def _w8a8_matmul_pallas(qx, x_scale, qw, w_scale, out_dtype,
 def w8a8_matmul(x, qw, w_scale):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
-    if _on_tpu() and x2.shape[0] >= 32:
+    if _on_tpu():
         qx, x_scale = quantize_per_token(x2)
         M = qx.shape[0]
         orig_m = M
@@ -217,8 +219,16 @@ def w8a8_matmul(x, qw, w_scale):
             pad = 32 - M % 32
             qx = jnp.pad(qx, ((0, pad), (0, 0)))
             x_scale = jnp.pad(x_scale, ((0, pad), (0, 0)))
+        K = qx.shape[1]
+        if M <= 64:
+            # decode matvec: weight-read bound — few, large blocks so DMA
+            # (not per-step overhead) dominates
+            kw = dict(bm=32, bn=1024, bk=min(K, 4096))
+        else:
+            kw = dict()
         y = _w8a8_matmul_pallas(qx, x_scale, qw, w_scale,
-                                out_dtype=jnp.dtype(x.dtype))[:orig_m]
+                                out_dtype=jnp.dtype(x.dtype),
+                                **kw)[:orig_m]
     else:
         y = w8a8_matmul_ref(x2, qw, w_scale)
     return y.reshape(*shape[:-1], qw.shape[1])
