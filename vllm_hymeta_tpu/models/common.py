@@ -113,9 +113,13 @@ def fuse_params(cfg, params: dict, tp: int = 1) -> dict:
             ap["swa"], ap["gla"] = sw, gl
         else:
             parts = [ap.pop("q_proj"), ap.pop("k_proj"), ap.pop("v_proj")]
-            if "gk_a" in ap and tp == 1:
-                # gk_a's low-rank output is replicated under TP, so it can
-                # only ride the fused matmul single-rank
+            same_layout = ("gk_a" in ap
+                           and ("w" in ap["gk_a"]) == ("w" in parts[0])
+                           and ("qw" in ap["gk_a"]) == ("qw" in parts[0]))
+            if "gk_a" in ap and tp == 1 and same_layout:
+                # gk_a's low-rank output is replicated under TP (and is
+                # excluded from quantization), so it only rides the fused
+                # matmul when layouts match single-rank
                 parts.append(ap.pop("gk_a"))
                 ap["qkvg_proj"] = _concat_linears(parts, tp)
             else:

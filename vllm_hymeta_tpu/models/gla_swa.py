@@ -279,7 +279,10 @@ def decode(cfg: GLAswaConfig, params: dict, cache: dict,
             k = naive.apply_rope(k, cos, sin)
             lc = cache_lib.write_decode_kv(lc, k, v, positions, active)
             rk, rv = cache_lib.kv_entry(lc)
-            out, _ = swa.swa_decode(q, rk, rv, positions, cfg.window_keys)
+            from vllm_hymeta_tpu.ops.swa_decode_pallas import \
+                fused_decode_attention
+            out = fused_decode_attention(q, rk, rv, positions,
+                                         cfg.window_keys)
             att = pctx.psum(linear(
                 ap["o_proj"], common.merge_heads(out.astype(y.dtype))))
         else:

@@ -478,9 +478,10 @@ def decode(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         k = naive.apply_rope(k, cos, sin)
         lc = cache_lib.write_decode_kv(lc, k, v, positions, active)
         rk, rv = cache_lib.kv_entry(lc)
-        out1, lse1 = swa.swa_decode(q, rk, rv, positions, window)
-        out2, lse2 = swa.meta_decode(q, meta["k"][i], meta["v"][i])
-        mo, _ = swa.merge_two(out1, lse1, out2, lse2)
+        from vllm_hymeta_tpu.ops.swa_decode_pallas import \
+            fused_decode_attention
+        mo = fused_decode_attention(q, rk, rv, positions, window,
+                                    meta["k"][i], meta["v"][i])
         swa_out = mo.astype(y.dtype)
 
         # ---- GLA branch
