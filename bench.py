@@ -39,6 +39,17 @@ def build_params(cfg, scheme: str):
     from vllm_hymeta_tpu.models import gla_swa
     from vllm_hymeta_tpu.quant import (quantize_params_gptq,
                                        quantize_params_w8a8)
+    from vllm_hymeta_tpu.quant.io import load_quantized, save_quantized
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".bench_cache",
+                             f"{scheme}_{cfg.hidden_size}_{cfg.num_hidden_layers}")
+    if os.path.exists(os.path.join(cache_dir, "quantized.safetensors")):
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            params = load_quantized(cache_dir)
+        return jax.device_put(params, jax.devices()[0])
+
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
@@ -47,6 +58,10 @@ def build_params(cfg, scheme: str):
             params = quantize_params_w8a8(params)
         elif scheme == "gptq4":
             params = quantize_params_gptq(params, bits=4, group_size=64)
+        try:
+            save_quantized(params, cache_dir)
+        except Exception:
+            pass
     return jax.device_put(params, jax.devices()[0])
 
 

@@ -136,17 +136,23 @@ def available() -> bool:
     return _load_lib() is not None
 
 
-def iter_tensors(path: str) -> Iterator[Tuple[str, np.ndarray]]:
-    """Yield (name, fp32-or-native numpy array) from one shard, preferring
-    the native reader.  Arrays are OWNED copies (safe after the shard
-    closes); use NativeSafetensors directly for zero-copy device_put while
-    the mapping is alive."""
+def iter_tensors(path: str, bf16_as: str = "f32"
+                 ) -> Iterator[Tuple[str, np.ndarray]]:
+    """Yield (name, numpy array) from one shard, preferring the native
+    reader.  Arrays are OWNED copies (safe after the shard closes); use
+    NativeSafetensors directly for zero-copy device_put while the mapping
+    is alive.  bf16_as: "f32" upconverts BF16; "ml_dtypes" keeps bf16
+    (requires ml_dtypes)."""
     if available():
         with NativeSafetensors(path) as f:
             for name in f.keys():
                 arr, st_dtype = f.get(name)
                 if st_dtype == "BF16":
-                    arr = bf16_to_f32(arr)  # copies
+                    if bf16_as == "ml_dtypes":
+                        import ml_dtypes
+                        arr = np.array(arr).view(ml_dtypes.bfloat16)
+                    else:
+                        arr = bf16_to_f32(arr)  # copies
                 else:
                     arr = np.array(arr)     # detach from the mmap
                 yield name, arr

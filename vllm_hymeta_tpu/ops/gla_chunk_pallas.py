@@ -52,19 +52,19 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
 
-    # full fp32 precision: bl feeds exponentials, so bf16-pass matmul
-    # error would be amplified
-    bl = jax.lax.dot(btri, g, preferred_element_type=jnp.float32,
-                     precision=jax.lax.Precision.HIGHEST)
-    # bs_rows[t] = bl[last row of t's sub-chunk] via a selection matmul
-    # (strided gathers don't lower in Mosaic)
-    sel = jnp.where(col == (row // SUB) * SUB + (SUB - 1), 1.0, 0.0)
-    bs_rows = jax.lax.dot(sel, bl, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)
+    # exact fp32 per-sub-chunk inclusive cumsum via log-shift adds (bl
+    # feeds exponentials — matmul-based cumsum would cost either fp32
+    # matmul passes or precision)
+    rpos = jax.lax.broadcasted_iota(jnp.int32, (C, 1), 0) % SUB
+    bl = g
+    sh = 1
+    while sh < SUB:
+        rolled = pltpu.roll(bl, sh, axis=0)
+        bl = bl + jnp.where(rpos >= sh, rolled, 0.0)
+        sh *= 2
 
     qa = q * jnp.exp(bl)
     ka_in = k * jnp.exp(-bl)
-    ka_up = k * jnp.exp(bs_rows - bl)
 
     A = jax.lax.dot_general(
         qa, ka_in, (((1,), (1,)), ((), ())),
@@ -72,9 +72,11 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
     A = A * btri                                         # mask + zero cross
     o_intra = jax.lax.dot(A, v, preferred_element_type=jnp.float32)
 
-    # batched per-sub-chunk state contributions: [ns, D, D]
-    upd = jax.lax.dot_general(
-        ka_up.reshape(ns, SUB, D), v.reshape(ns, SUB, D),
+    # batched raw state contributions: upd0_i = ka_inᵀ @ v_i ; the real
+    # update is U <- e^{Bs_i} ⊙ (U + upd0_i)  since
+    # Σ_t k e^{Bs-bl} ⊗ v = e^{Bs} ⊙ Σ_t (k e^{-bl}) ⊗ v
+    upd0 = jax.lax.dot_general(
+        ka_in.reshape(ns, SUB, D), v.reshape(ns, SUB, D),
         (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)
 
@@ -86,7 +88,7 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
         o_ref[0, lo:hi, :] = (o_inter + o_intra[lo:hi, :]
                               ).astype(o_ref.dtype)
         decay = jnp.exp(bl[hi - 1:hi, :]).T              # [D, 1]
-        s_ref[:] = decay * U + upd[i]
+        s_ref[:] = decay * (U + upd0[i])
 
     @pl.when(c == nc - 1)
     def _():

@@ -63,7 +63,8 @@ def load_quantized(path: str) -> dict:
     from vllm_hymeta_tpu.native import safetensors as native_st
     tree: dict = {}
     for name, arr in native_st.iter_tensors(
-            os.path.join(path, "quantized.safetensors")):
+            os.path.join(path, "quantized.safetensors"),
+            bf16_as="ml_dtypes"):
         parts = name.split(".")
         d = tree
         for i, p in enumerate(parts[:-1]):
