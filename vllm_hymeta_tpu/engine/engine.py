@@ -113,6 +113,7 @@ class Engine:
         self._compiled_prefill = {}
         self._compiled_decode = None
         self._compiled_start = None
+        self._last_was_prefill = False
 
     # ------------------------------------------------------------------ api
 
@@ -276,9 +277,17 @@ class Engine:
                 continue
             self._start_request(req)
 
-        # pick a request with pending prefill work
+        # pick a request with pending prefill work; alternate with decode
+        # so in-flight generations aren't starved by long prompts
+        # (chunked-prefill interleaving, the role of the reference's mixed
+        # [prefills | decodes] batches, `meta_attention.py:612-639`)
         pre = next((r for r in self.slot_req.values()
                     if r.prefill_done < len(r.prompt)), None)
+        if pre is not None and self._last_was_prefill and any(self.active):
+            pre = None
+            self._last_was_prefill = False
+        elif pre is not None:
+            self._last_was_prefill = True
         if pre is not None:
             n_left = len(pre.prompt) - pre.prefill_done
             n = min(n_left, self.ecfg.prefill_chunk)
