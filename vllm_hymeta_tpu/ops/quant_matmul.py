@@ -211,7 +211,9 @@ def _w8a8_matmul_pallas(qx, x_scale, qw, w_scale, out_dtype,
 def w8a8_matmul(x, qw, w_scale):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
-    if _on_tpu():
+    if _on_tpu() and x2.shape[0] <= 64:
+        # decode matvec: weight-read bound — Pallas with few, large blocks
+        # so DMA (not per-step overhead) dominates
         qx, x_scale = quantize_per_token(x2)
         M = qx.shape[0]
         orig_m = M
@@ -220,15 +222,11 @@ def w8a8_matmul(x, qw, w_scale):
             qx = jnp.pad(qx, ((0, pad), (0, 0)))
             x_scale = jnp.pad(x_scale, ((0, pad), (0, 0)))
         K = qx.shape[1]
-        if M <= 64:
-            # decode matvec: weight-read bound — few, large blocks so DMA
-            # (not per-step overhead) dominates
-            kw = dict(bm=32, bn=1024, bk=min(K, 4096))
-        else:
-            kw = dict()
         y = _w8a8_matmul_pallas(qx, x_scale, qw, w_scale,
                                 out_dtype=jnp.dtype(x.dtype),
-                                **kw)[:orig_m]
+                                bm=32, bn=1024, bk=min(K, 4096))[:orig_m]
     else:
+        # large M: XLA's native int8 dot reaches ~165-175 TOPS on v5e —
+        # at parity with the best measured Pallas tiling and simpler
         y = w8a8_matmul_ref(x2, qw, w_scale)
     return y.reshape(*shape[:-1], qw.shape[1])
