@@ -57,15 +57,37 @@ class TestTransforms:
         q = quantize_params_gptq({"a": {"up_proj": p}}, bits=4,
                                  group_size=64)
         qp = q["a"]["up_proj"]
-        assert qp["qw"].dtype == jnp.int8
+        assert qp["qw4"].dtype == jnp.uint8  # packed, 2 weights/byte
+        assert qp["qw4"].shape == (64, 32)
         x = jax.random.normal(jax.random.PRNGKey(1), (4, 128))
         y = linear(qp, x)
         # exact vs the dequantized weight; close-ish vs the original
         w_deq = quant_matmul.dequant_groupwise(
-            qp["qw"], qp["scales"], qp["zeros"], dtype=jnp.float32)
+            quant_matmul.unpack_int4(qp["qw4"]),
+            qp["scales"], qp["zeros"], dtype=jnp.float32)
         np.testing.assert_allclose(np.asarray(y), np.asarray(x @ w_deq),
                                    atol=1e-4, rtol=1e-4)
         assert np.abs(np.asarray(y - x @ p["w"])).max() < 0.5
+
+    def test_int4_pack_roundtrip(self):
+        key = jax.random.PRNGKey(7)
+        qw = jax.random.randint(key, (32, 16), -8, 8, jnp.int8)
+        packed = quant_matmul.pack_int4(qw)
+        assert packed.shape == (16, 16)
+        np.testing.assert_array_equal(
+            np.asarray(quant_matmul.unpack_int4(packed)), np.asarray(qw))
+
+    def test_int4_matmul_ref(self):
+        key = jax.random.PRNGKey(8)
+        K, N, g = 128, 32, 32
+        w = jax.random.normal(key, (K, N)) * 0.1
+        q = quantize_params_gptq({"a": {"up_proj": {"w": w}}},
+                                 bits=4, group_size=g)
+        qp = q["a"]["up_proj"]
+        x = jax.random.normal(jax.random.PRNGKey(9), (5, K))
+        y = quant_matmul.int4_matmul_ref(x, qp["qw4"], qp["scales"],
+                                         qp["zeros"])
+        assert np.abs(np.asarray(y - x @ w)).max() < 0.5
 
     def test_exclusions(self):
         cfg = tiny_glaswa()

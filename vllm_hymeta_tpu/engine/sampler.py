@@ -51,26 +51,37 @@ def sample(logits: jax.Array,        # [S, V] fp32
            top_k: jax.Array,         # [S] int32 (0 = off)
            top_p: jax.Array,         # [S]
            ) -> jax.Array:
-    """Returns sampled token ids [S].  temperature<=0 rows sample greedily."""
+    """Returns sampled token ids [S].  temperature<=0 rows sample greedily.
+
+    The vocab-wide sort (O(V log V), V=152k) only runs when some slot
+    actually needs top-k/top-p — an all-greedy batch takes the argmax
+    branch via lax.cond.
+    """
     S, V = logits.shape
     greedy_ids = jnp.argmax(logits, axis=-1)
 
-    t = jnp.maximum(temperature, 1e-6)[:, None]
-    scaled = logits / t
+    needs_sampling = jnp.any(temperature > 0.0)
 
-    # top-k: mask everything below the k-th logit
-    sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
-    k_idx = jnp.clip(jnp.where(top_k > 0, top_k, V) - 1, 0, V - 1)
-    kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
-    scaled = jnp.where(scaled < kth, NEG_INF, scaled)
+    def full_path(_):
+        t = jnp.maximum(temperature, 1e-6)[:, None]
+        scaled = logits / t
 
-    # top-p (nucleus) on the surviving distribution
-    probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
-    cum = jnp.cumsum(probs_sorted, axis=-1)
-    cutoff_rank = jnp.sum(cum < top_p[:, None], axis=-1)  # keep ranks <= this
-    pth = jnp.take_along_axis(
-        sorted_desc, jnp.clip(cutoff_rank, 0, V - 1)[:, None], axis=-1)
-    scaled = jnp.where(scaled < pth, NEG_INF, scaled)
+        # top-k: mask everything below the k-th logit
+        sorted_desc = jnp.sort(scaled, axis=-1)[:, ::-1]
+        k_idx = jnp.clip(jnp.where(top_k > 0, top_k, V) - 1, 0, V - 1)
+        kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
+        masked = jnp.where(scaled < kth, NEG_INF, scaled)
 
-    sampled = jax.random.categorical(key, scaled, axis=-1)
-    return jnp.where(temperature <= 0.0, greedy_ids, sampled)
+        # top-p (nucleus) on the surviving distribution
+        probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
+        cum = jnp.cumsum(probs_sorted, axis=-1)
+        cutoff_rank = jnp.sum(cum < top_p[:, None], axis=-1)
+        pth = jnp.take_along_axis(
+            sorted_desc, jnp.clip(cutoff_rank, 0, V - 1)[:, None], axis=-1)
+        masked = jnp.where(masked < pth, NEG_INF, masked)
+
+        sampled = jax.random.categorical(key, masked, axis=-1)
+        return jnp.where(temperature <= 0.0, greedy_ids, sampled)
+
+    return jax.lax.cond(needs_sampling, full_path,
+                        lambda _: greedy_ids, None)

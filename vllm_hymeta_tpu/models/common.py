@@ -60,7 +60,11 @@ def _concat_linears(ps, tp: int = 1) -> dict:
 
     if all("w" in p for p in ps):
         fused["w"] = cat([p["w"] for p in ps], 1)
-    else:  # quantized layouts: concat along N for qw/scales/zeros
+    elif all("qw4" in p for p in ps):
+        fused["qw4"] = cat([p["qw4"] for p in ps], 1)
+        fused["scales"] = cat([p["scales"] for p in ps], 1)
+        fused["zeros"] = cat([p["zeros"] for p in ps], 1)
+    else:  # int8 layouts: concat along N for qw/scales/zeros
         fused["qw"] = cat([p["qw"] for p in ps], 1)
         if "w_scale" in ps[0]:
             fused["w_scale"] = cat([p["w_scale"] for p in ps], 0)
@@ -113,9 +117,9 @@ def fuse_params(cfg, params: dict, tp: int = 1) -> dict:
             ap["swa"], ap["gla"] = sw, gl
         else:
             parts = [ap.pop("q_proj"), ap.pop("k_proj"), ap.pop("v_proj")]
-            same_layout = ("gk_a" in ap
-                           and ("w" in ap["gk_a"]) == ("w" in parts[0])
-                           and ("qw" in ap["gk_a"]) == ("qw" in parts[0]))
+            same_layout = ("gk_a" in ap and all(
+                ((key in ap["gk_a"]) == (key in parts[0]))
+                for key in ("w", "qw", "qw4")))
             if "gk_a" in ap and tp == 1 and same_layout:
                 # gk_a's low-rank output is replicated under TP (and is
                 # excluded from quantization), so it only rides the fused

@@ -23,7 +23,9 @@ from vllm_hymeta_tpu.ops import quant_matmul
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
     """y = x @ w (+ b). Dispatches on the parameter layout."""
-    if "qw" in p:
+    if "qw4" in p:
+        y = quant_matmul.int4_matmul(x, p["qw4"], p["scales"], p["zeros"])
+    elif "qw" in p:
         if "w_scale" in p:
             y = quant_matmul.w8a8_matmul(x, p["qw"], p["w_scale"])
         else:

@@ -230,3 +230,168 @@ def w8a8_matmul(x, qw, w_scale):
         # at parity with the best measured Pallas tiling and simpler
         y = w8a8_matmul_ref(x2, qw, w_scale)
     return y.reshape(*shape[:-1], qw.shape[1])
+
+
+# ---------------------------------------------------------------------------
+# packed INT4 weight-only (GPTQ group-wise) — split-half packing
+# ---------------------------------------------------------------------------
+# Two int4 values share a byte: row k of the packed tensor holds (low
+# nibble) original row k and (high nibble) original row k + K/2.  Both
+# unpacked halves are contiguous K-ranges, so the matmul is just
+#   y = x[:, :K/2] @ W_low + x[:, K/2:] @ W_high
+# with no interleave or activation permutation — the kernel streams HALF
+# the bytes of an int8 layout (SURVEY.md §7 hard part #4).
+
+def pack_int4(qw: jax.Array) -> jax.Array:
+    """qw int8 [K, N] with values in [-8, 7] -> packed uint8 [K/2, N]."""
+    K = qw.shape[0]
+    assert K % 2 == 0
+    u = (qw.astype(jnp.int32) + 8).astype(jnp.uint8)
+    lo = u[: K // 2, :]
+    hi = u[K // 2:, :]
+    return (lo | (hi << 4)).astype(jnp.uint8)
+
+
+def unpack_int4(packed: jax.Array) -> jax.Array:
+    """Inverse of pack_int4 -> int8 [K, N]."""
+    lo = (packed & 0xF).astype(jnp.int8) - 8
+    hi = ((packed >> 4) & 0xF).astype(jnp.int8) - 8
+    return jnp.concatenate([lo, hi], axis=0)
+
+
+def int4_matmul_ref(x, qw4, scales, zeros):
+    """x [M, K] @ packed int4 weights (group-wise scales/zeros over K)."""
+    qw = unpack_int4(qw4)
+    return groupwise_dequant_matmul_ref(x, qw, scales, zeros)
+
+
+def _int4_kernel(x_ref, qw4_ref, s_ref, z_ref, o_ref, acc_ref, *, g: int,
+                 k_steps: int, half_k: int):
+    """Grid (M/bm, N/bn, Khalf/bk): each step processes bk rows of BOTH
+    halves (packed together), accumulating two bf16 matmuls."""
+    ik = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    packed = qw4_ref[:]                              # [bk, bn] uint8
+    lo = (packed & 0xF).astype(jnp.float32) - 8.0
+    hi = ((packed >> 4) & 0xF).astype(jnp.float32) - 8.0
+    s = s_ref[:].astype(jnp.float32)                 # [2*bk//g, bn]
+    z = z_ref[:].astype(jnp.float32)
+    bk = packed.shape[0]
+    s_lo = jnp.repeat(s[: bk // g], g, axis=0)
+    z_lo = jnp.repeat(z[: bk // g], g, axis=0)
+    s_hi = jnp.repeat(s[bk // g:], g, axis=0)
+    z_hi = jnp.repeat(z[bk // g:], g, axis=0)
+    w_lo = ((lo - z_lo) * s_lo).astype(jnp.bfloat16)
+    w_hi = ((hi - z_hi) * s_hi).astype(jnp.bfloat16)
+
+    x_lo = x_ref[:, :bk]
+    x_hi = x_ref[:, bk:]
+    acc_ref[:] += jax.lax.dot(x_lo, w_lo,
+                              preferred_element_type=jnp.float32)
+    acc_ref[:] += jax.lax.dot(x_hi, w_hi,
+                              preferred_element_type=jnp.float32)
+
+    @pl.when(ik == k_steps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
+def _int4_matmul_pallas(x, qw4, scales, zeros, bm: int, bn: int, bk: int):
+    """x [M, K] bf16; qw4 [K/2, N] uint8; scales/zeros [K/g, N].
+
+    The x block spec delivers both halves' columns for a K-half tile:
+    columns [k*bk, (k+1)*bk) and [K/2 + k*bk, K/2 + (k+1)*bk) — realized
+    by passing x pre-swizzled as [M, 2, K/2] -> [M, K/2, 2]?  Simpler: we
+    pass x split into halves stacked on axis 1 so one block covers both.
+    """
+    M, K = x.shape
+    half = K // 2
+    N = qw4.shape[1]
+    G = scales.shape[0]
+    g = K // G
+    # x rearranged: [M, 2*half] with halves adjacent per tile:
+    # block over axis1 of x2 = [x_lo_tile | x_hi_tile]
+    x2 = jnp.concatenate(
+        [x[:, :half].reshape(M, half // bk, bk),
+         x[:, half:].reshape(M, half // bk, bk)], axis=2
+    ).reshape(M, 2 * half)                           # tile-interleaved
+    k_steps = half // bk
+    grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), k_steps)
+    # scales rows per k-step: lo rows [k*bk/g, ...), hi rows offset G/2
+    sz_rows = 2 * bk // g
+
+    def s_index(i, j, k):
+        return (k, j)
+
+    out = pl.pallas_call(
+        functools.partial(_int4_kernel, g=g, k_steps=k_steps, half_k=half),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((bm, 2 * bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((sz_rows, bn), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sz_rows, bn), s_index, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), x.dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * K,
+            bytes_accessed=M * K * 2 + K * N // 2 + M * N * 2,
+            transcendentals=0),
+    )(x2, qw4, _int4_scale_layout(scales, bk, g),
+      _int4_scale_layout(zeros, bk, g))
+    return out
+
+
+def _int4_scale_layout(s: jax.Array, bk: int, g: int) -> jax.Array:
+    """Rearrange [K/g, N] group params so one k-step's rows (lo tile
+    groups then hi tile groups) are contiguous: [k_steps * 2*bk/g, N]."""
+    G, N = s.shape
+    half_g = G // 2
+    per = bk // g
+    lo = s[:half_g].reshape(half_g // per, per, N)
+    hi = s[half_g:].reshape(half_g // per, per, N)
+    return jnp.concatenate([lo, hi], axis=1).reshape(G, N)
+
+
+def _pick_bk(half: int, g: int) -> int:
+    for bk in (1024, 896, 768, 640, 512, 448, 384, 320, 256, 192, 128, 64):
+        if bk % g == 0 and half % bk == 0:
+            return bk
+    return 0
+
+
+def int4_matmul(x, qw4, scales, zeros):
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    K = x2.shape[-1]
+    half = K // 2
+    g = K // scales.shape[0]
+    bk = _pick_bk(half, g) if _on_tpu() else 0
+    N = qw4.shape[1]
+    if bk:
+        M = x2.shape[0]
+        orig_m = M
+        if M % 8 != 0:
+            pad = 8 - M % 8
+            x2 = jnp.pad(x2, ((0, pad), (0, 0)))
+            M += pad
+        bm = 32 if orig_m <= 64 else min(512, M)
+        bn = next((b for b in (1024, 512, 256, 128) if N % b == 0), 0)
+        if bn:
+            y = _int4_matmul_pallas(x2, qw4, scales, zeros, bm=bm, bn=bn,
+                                    bk=bk)[:orig_m]
+            return y.reshape(*shape[:-1], N)
+    y = int4_matmul_ref(x2, qw4, scales, zeros)
+    return y.reshape(*shape[:-1], N)

@@ -115,9 +115,13 @@ def quantize_params_gptq(params: dict, bits: int = 4, group_size: int = 64,
                      + zero[:, None, :], 0, qmax)
         parent = _get(out, path[:-1])
         del parent["w"]
-        # stored zero-centered int8 so the MXU int8 path applies directly
-        parent["qw"] = (q - (qmax + 1) // 2).astype(
-            jnp.int8).reshape(K, N)
+        # stored zero-centered so integer kernels apply directly
+        q_centered = (q - (qmax + 1) // 2).astype(jnp.int8).reshape(K, N)
+        if bits == 4:
+            from vllm_hymeta_tpu.ops.quant_matmul import pack_int4
+            parent["qw4"] = pack_int4(q_centered)   # 2 weights / byte
+        else:
+            parent["qw"] = q_centered
         parent["scales"] = scale
         parent["zeros"] = zero - (qmax + 1) // 2
     return out
