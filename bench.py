@@ -90,7 +90,8 @@ def main():
                         max_model_len=prompt_len + gen + 64,
                         prefill_chunk=8192,
                         prefill_buckets=(8192,),
-                        kv_dtype="bfloat16")
+                        kv_dtype="bfloat16",
+                        decode_block=16)
     eng = Engine(cfg, params, ecfg)
 
     import numpy as np
@@ -98,8 +99,10 @@ def main():
     prompt = list(rs.randint(0, cfg.vocab_size, size=prompt_len))
     sp = SamplingParams(temperature=0.0, max_tokens=gen, ignore_eos=True)
 
-    # warmup (compile)
-    eng.generate([prompt[:prompt_len]], sp)
+    # warmup TWICE: the second request compiles the steady-state buffer
+    # layouts (slot-restart fed by decode-output caches)
+    eng.generate([prompt], sp)
+    eng.generate([prompt], sp)
 
     times = []
     for _ in range(runs):

@@ -57,7 +57,7 @@ class TestTransforms:
         q = quantize_params_gptq({"a": {"up_proj": p}}, bits=4,
                                  group_size=64)
         qp = q["a"]["up_proj"]
-        assert qp["qw4"].dtype == jnp.uint8  # packed, 2 weights/byte
+        assert qp["qw4"].dtype == jnp.int8  # packed, 2 weights/byte
         assert qp["qw4"].shape == (64, 32)
         x = jax.random.normal(jax.random.PRNGKey(1), (4, 128))
         y = linear(qp, x)

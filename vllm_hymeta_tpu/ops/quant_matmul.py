@@ -243,19 +243,22 @@ def w8a8_matmul(x, qw, w_scale):
 # the bytes of an int8 layout (SURVEY.md §7 hard part #4).
 
 def pack_int4(qw: jax.Array) -> jax.Array:
-    """qw int8 [K, N] with values in [-8, 7] -> packed uint8 [K/2, N]."""
+    """qw int8 [K, N] with values in [-8, 7] -> packed int8 [K/2, N]
+    (int8 bit-pattern storage: Mosaic handles int8 loads natively)."""
     K = qw.shape[0]
     assert K % 2 == 0
-    u = (qw.astype(jnp.int32) + 8).astype(jnp.uint8)
+    u = qw.astype(jnp.int32) + 8
     lo = u[: K // 2, :]
     hi = u[K // 2:, :]
-    return (lo | (hi << 4)).astype(jnp.uint8)
+    both = lo | (hi << 4)                 # [0, 255]
+    return (both - 128).astype(jnp.int8)  # store bit pattern as int8
 
 
 def unpack_int4(packed: jax.Array) -> jax.Array:
     """Inverse of pack_int4 -> int8 [K, N]."""
-    lo = (packed & 0xF).astype(jnp.int8) - 8
-    hi = ((packed >> 4) & 0xF).astype(jnp.int8) - 8
+    u = packed.astype(jnp.int32) + 128    # back to [0, 255]
+    lo = (u & 0xF).astype(jnp.int8) - 8
+    hi = ((u >> 4) & 0xF).astype(jnp.int8) - 8
     return jnp.concatenate([lo, hi], axis=0)
 
 
@@ -275,16 +278,17 @@ def _int4_kernel(x_ref, qw4_ref, s_ref, z_ref, o_ref, acc_ref, *, g: int,
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = qw4_ref[:]                              # [bk, bn] uint8
+    packed = qw4_ref[:].astype(jnp.int32) + 128      # int8 bits -> [0,255]
     lo = (packed & 0xF).astype(jnp.float32) - 8.0
     hi = ((packed >> 4) & 0xF).astype(jnp.float32) - 8.0
-    s = s_ref[:].astype(jnp.float32)                 # [2*bk//g, bn]
-    z = z_ref[:].astype(jnp.float32)
     bk = packed.shape[0]
+    rows = 2 * bk // g                               # may be sublane-padded
+    s = s_ref[:rows].astype(jnp.float32)             # [2*bk//g, bn]
+    z = z_ref[:rows].astype(jnp.float32)
     s_lo = jnp.repeat(s[: bk // g], g, axis=0)
     z_lo = jnp.repeat(z[: bk // g], g, axis=0)
-    s_hi = jnp.repeat(s[bk // g:], g, axis=0)
-    z_hi = jnp.repeat(z[bk // g:], g, axis=0)
+    s_hi = jnp.repeat(s[bk // g: rows], g, axis=0)
+    z_hi = jnp.repeat(z[bk // g: rows], g, axis=0)
     w_lo = ((lo - z_lo) * s_lo).astype(jnp.bfloat16)
     w_hi = ((hi - z_hi) * s_hi).astype(jnp.bfloat16)
 
@@ -322,8 +326,10 @@ def _int4_matmul_pallas(x, qw4, scales, zeros, bm: int, bn: int, bk: int):
     ).reshape(M, 2 * half)                           # tile-interleaved
     k_steps = half // bk
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), k_steps)
-    # scales rows per k-step: lo rows [k*bk/g, ...), hi rows offset G/2
+    # scales rows per k-step: lo rows [k*bk/g, ...), hi rows offset G/2;
+    # padded up to a sublane multiple for the block spec
     sz_rows = 2 * bk // g
+    sz_pad = (sz_rows + 7) // 8 * 8
 
     def s_index(i, j, k):
         return (k, j)
@@ -336,8 +342,8 @@ def _int4_matmul_pallas(x, qw4, scales, zeros, bm: int, bn: int, bk: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sz_rows, bn), s_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sz_rows, bn), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sz_pad, bn), s_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((sz_pad, bn), s_index, memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
@@ -356,13 +362,20 @@ def _int4_matmul_pallas(x, qw4, scales, zeros, bm: int, bn: int, bk: int):
 
 def _int4_scale_layout(s: jax.Array, bk: int, g: int) -> jax.Array:
     """Rearrange [K/g, N] group params so one k-step's rows (lo tile
-    groups then hi tile groups) are contiguous: [k_steps * 2*bk/g, N]."""
+    groups then hi tile groups) are contiguous, each step's rows padded
+    to a sublane multiple: [k_steps * pad8(2*bk/g), N]."""
     G, N = s.shape
     half_g = G // 2
     per = bk // g
-    lo = s[:half_g].reshape(half_g // per, per, N)
-    hi = s[half_g:].reshape(half_g // per, per, N)
-    return jnp.concatenate([lo, hi], axis=1).reshape(G, N)
+    steps = half_g // per
+    lo = s[:half_g].reshape(steps, per, N)
+    hi = s[half_g:].reshape(steps, per, N)
+    both = jnp.concatenate([lo, hi], axis=1)         # [steps, 2per, N]
+    rows = 2 * per
+    pad = (-rows) % 8
+    if pad:
+        both = jnp.pad(both, ((0, 0), (0, pad), (0, 0)))
+    return both.reshape(steps * (rows + pad), N)
 
 
 def _pick_bk(half: int, g: int) -> int:
