@@ -69,18 +69,23 @@ class Engine:
     """Single-program (one process / one mesh) serving engine."""
 
     def __init__(self, cfg, params, engine_cfg: Optional[EngineConfig] = None,
-                 meta: Optional[dict] = None, seed: int = 0):
+                 meta: Optional[dict] = None, seed: int = 0, mesh=None):
+        """mesh: optional jax Mesh with ("data", "model") axes — runs every
+        step as a shard_map program with TP/EP/DP shardings
+        (parallel/step.py); None = single device."""
         self.cfg = cfg
         self.params = params
         self.ecfg = engine_cfg or EngineConfig()
         self.model = get_model(cfg)
+        self.mesh = mesh
         self.is_hymeta = isinstance(cfg, HymetaConfig)
         if self.is_hymeta and meta is None:
             meta = self.model.precompute_meta(cfg, params)
         self.meta = meta
+        tp = int(mesh.shape["model"]) if mesh is not None else 1
         if self.ecfg.fuse_projections:
             from vllm_hymeta_tpu.models import common as _common
-            self.params = _common.fuse_params(cfg, params)
+            self.params = _common.fuse_params(cfg, params, tp=tp)
             params = self.params
 
         cc = cache_lib.CacheConfig(
@@ -90,6 +95,19 @@ class Engine:
             state_dtype=self.ecfg.state_dtype)
         self.cache = self.model.init_cache(cfg, cc)
         self.cc = cc
+
+        if mesh is not None:
+            from vllm_hymeta_tpu.parallel import step as pstep
+            self.params, self.cache, self.meta = pstep.place_all(
+                cfg, mesh, self.params, self.cache, self.meta)
+            params = self.params
+            self._local_prefill = pstep.make_local_prefill(
+                cfg, mesh, self.params, self.cache, self.meta)
+            self._local_decode = pstep.make_local_decode(
+                cfg, mesh, self.params, self.cache, self.meta)
+        else:
+            self._local_prefill = None
+            self._local_decode = None
 
         S = self.ecfg.max_num_seqs
         self.free_slots = deque(range(S))
@@ -138,7 +156,10 @@ class Engine:
 
         def fn(params, meta, cache, samp, tokens, slot, pos0, n_valid,
                key):
-            if self.is_hymeta:
+            if self._local_prefill is not None:
+                logits, cache = self._local_prefill(
+                    params, meta, cache, tokens, slot, pos0, n_valid)
+            elif self.is_hymeta:
                 logits, cache = self.model.prefill(
                     self.cfg, params, meta, cache, tokens, slot, pos0,
                     n_valid)
@@ -195,7 +216,10 @@ class Engine:
 
         def one_step(params, meta, cache, samp, tokens, positions, active,
                      key):
-            if self.is_hymeta:
+            if self._local_decode is not None:
+                logits, cache = self._local_decode(
+                    params, meta, cache, tokens, positions, active)
+            elif self.is_hymeta:
                 logits, cache = self.model.decode(
                     self.cfg, params, meta, cache, tokens, positions, active)
             else:

@@ -5,6 +5,12 @@ q/k/v/gate/up (output dim sharded by heads / intermediate), row-parallel
 o/out/down (input dim sharded), vocab-parallel embedding + LM head,
 head-sharded hybrid norms and lower bounds, expert-parallel MoE tensors,
 slot-sharded caches over the data axis.
+
+Specs are derived generically from the parameter tree, so fused
+projections (models.common.fuse_params) and quantized layouts (qw /
+w_scale / scales / zeros) shard correctly.  Packed-INT4 (qw4) cannot be
+row-sharded (split-half packing interleaves K shards) — loaders should
+keep INT4 single-rank or quantize per-shard.
 """
 
 from __future__ import annotations
@@ -18,84 +24,99 @@ from vllm_hymeta_tpu.config import HymetaConfig
 
 REPL = P()
 
-_COL = P(None, "model")      # [in, out_sharded]
-_ROW = P("model", None)      # [in_sharded, out]
-_BIAS = P("model")
+# parent-key -> "col" (output dim sharded) | "row" (input dim sharded)
+#             | "repl"
+_LINEAR_KIND = {
+    "q_proj": "col", "k_proj": "col", "v_proj": "col",
+    "qkv_proj": "col", "qkvg_proj": "col", "qkv6_proj": "col",
+    "gate_up_proj": "col", "gate_proj": "col", "up_proj": "col",
+    "gk_b": "col",
+    "o_proj": "row", "out_proj": "row", "down_proj": "row",
+    "gk_a": "repl", "gate": "repl",
+}
 
 
-def _linear_specs(col: bool, bias: bool) -> dict:
-    d = {"w": _COL if col else _ROW}
-    if bias:
-        d["b"] = _BIAS if col else REPL
-    return d
+def _linear_leaf_spec(kind: str, leaf: str, ndim: int):
+    if kind == "repl":
+        return REPL
+    if kind == "col":
+        if leaf in ("w", "qw", "qw4", "scales", "zeros"):
+            return P(None, "model")
+        if leaf in ("b", "w_scale"):
+            return P("model")
+    if kind == "row":
+        if leaf in ("w", "qw", "scales", "zeros"):
+            return P("model", None)
+        if leaf == "qw4":
+            raise ValueError(
+                "packed INT4 cannot be row-sharded (split-half packing); "
+                "quantize per shard or keep INT4 single-rank")
+        if leaf in ("b", "w_scale"):
+            return REPL
+    return REPL
 
 
-def _glu_specs() -> dict:
-    return {
-        "gate_proj": _linear_specs(True, False),
-        "up_proj": _linear_specs(True, False),
-        "down_proj": _linear_specs(False, False),
-    }
+def _spec_tree(node: Any, parent: str):
+    if isinstance(node, dict):
+        out = {}
+        for k, v in node.items():
+            out[k] = _spec_tree(v, k if isinstance(v, dict) or
+                                k in _LINEAR_KIND else parent)
+        return out
+    if isinstance(node, list):
+        return [_spec_tree(v, parent) for v in node]
+    # leaf array under parent module name
+    return None  # placeholder; resolved by caller context
 
 
 def param_specs(cfg, params: dict) -> dict:
     """Spec pytree congruent with the param tree."""
     is_hymeta = isinstance(cfg, HymetaConfig)
-    layers = []
-    for i, lp in enumerate(params["layers"]):
-        d: dict = {
-            "attn_norm": {"w": REPL},
-            "mlp_norm": {"w": REPL},
-        }
-        if is_hymeta:
-            d["attn"] = {
-                "swa": {
-                    "q_proj": _linear_specs(True, True),
-                    "k_proj": _linear_specs(True, True),
-                    "v_proj": _linear_specs(True, True),
-                },
-                "gla": {
-                    "q_proj": _linear_specs(True, True),
-                    "k_proj": _linear_specs(True, True),
-                    "v_proj": _linear_specs(True, True),
-                },
-                # head-sharded hybrid norms (`modeling_hymeta.py:122-181`)
-                "norm1": {"w": _BIAS},
-                "norm2": {"w": _BIAS},
-                "out_proj": _linear_specs(False, False),
-            }
-            if "mlp" in lp:
-                d["mlp"] = _glu_specs()
-            if "moe" in lp:
-                d["moe"] = {
-                    "gate": {"w": REPL},
-                    # expert-parallel over the model axis
-                    "experts": {
-                        "gate_proj": P("model", None, None),
-                        "up_proj": P("model", None, None),
-                        "down_proj": P("model", None, None),
-                    },
+
+    def layer_specs(lp: dict) -> dict:
+        def mod_specs(name: str, p: dict) -> dict:
+            kind = _LINEAR_KIND.get(name)
+            if kind is None:
+                return {k: REPL for k in p}
+            return {k: _linear_leaf_spec(kind, k, None) for k in p}
+
+        out: dict = {}
+        for name, sub in lp.items():
+            if name in ("attn_norm", "mlp_norm"):
+                out[name] = {"w": REPL}
+            elif name == "attn":
+                a: dict = {}
+                for an, ap in sub.items():
+                    if an in ("norm1", "norm2"):
+                        # head-sharded hybrid norms
+                        # (`modeling_hymeta.py:122-181`)
+                        a[an] = {"w": P("model")}
+                    elif an == "g_norm":
+                        a[an] = {"w": REPL}
+                    elif an in ("swa", "gla"):
+                        a[an] = {pn: mod_specs(pn, pp)
+                                 for pn, pp in ap.items()}
+                    elif an in _LINEAR_KIND:
+                        a[an] = mod_specs(an, ap)
+                    else:
+                        a[an] = jax.tree.map(lambda _: REPL, ap)
+                out[name] = a
+            elif name in ("mlp", "shared_mlp"):
+                out[name] = {pn: mod_specs(pn, pp)
+                             for pn, pp in sub.items()}
+            elif name == "moe":
+                out[name] = {
+                    "gate": mod_specs("gate", sub["gate"]),
+                    "experts": {k: P("model", None, None)
+                                for k in sub["experts"]},
                 }
-            if "shared_mlp" in lp:
-                d["shared_mlp"] = _glu_specs()
-        else:
-            attn = {
-                "q_proj": _linear_specs(True, True),
-                "k_proj": _linear_specs(True, True),
-                "v_proj": _linear_specs(True, True),
-                "o_proj": _linear_specs(False, False),
-            }
-            if "gk_a" in lp["attn"]:
-                attn["gk_a"] = {"w": REPL}
-                attn["gk_b"] = _linear_specs(True, True)
-                attn["g_norm"] = {"w": REPL}
-            d["attn"] = attn
-            d["mlp"] = _glu_specs()
-        layers.append(d)
+            else:
+                out[name] = jax.tree.map(lambda _: REPL, sub)
+        return out
 
     specs: dict = {
         "embed": {"w": P("model", None)},        # vocab-parallel
-        "layers": layers,
+        "layers": [layer_specs(lp) for lp in params["layers"]],
         "final_norm": {"w": REPL},
         "lm_head": {"w": P(None, "model")},      # vocab-sharded logits
     }

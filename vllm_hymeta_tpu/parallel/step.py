@@ -28,10 +28,10 @@ def _shard_map(fn, mesh, in_specs, out_specs):
                          out_specs=out_specs, check_vma=False)
 
 
-def build_prefill(cfg, mesh: Mesh, params: dict, cache: dict,
-                  meta: Optional[dict], T: int):
-    """Returns jitted prefill(params, meta, cache, tokens, slot, pos0,
-    n_valid) -> (logits [V], cache)."""
+def make_local_prefill(cfg, mesh: Mesh, params: dict, cache: dict,
+                       meta: Optional[dict]):
+    """shard_map-wrapped (un-jitted) prefill(params, meta, cache, tokens,
+    slot, pos0, n_valid) -> (logits [V], cache)."""
     model = get_model(cfg)
     is_hymeta = isinstance(cfg, HymetaConfig)
     pctx = ParallelCtx(model_axis="model", data_axis="data")
@@ -46,17 +46,24 @@ def build_prefill(cfg, mesh: Mesh, params: dict, cache: dict,
         return model.prefill(cfg, params, cache, tokens, slot, pos0,
                              n_valid, pctx=pctx)
 
-    sm = _shard_map(
+    return _shard_map(
         local, mesh,
         in_specs=(pspecs, mspecs, cspecs, REPL, REPL, REPL, REPL),
         out_specs=(REPL, cspecs))
-    return jax.jit(sm, donate_argnums=(2,))
 
 
-def build_decode(cfg, mesh: Mesh, params: dict, cache: dict,
-                 meta: Optional[dict]):
-    """Returns jitted decode(params, meta, cache, tokens, positions,
-    active) -> (logits [S, V], cache)."""
+def build_prefill(cfg, mesh: Mesh, params: dict, cache: dict,
+                  meta: Optional[dict], T: int):
+    """Returns jitted prefill(params, meta, cache, tokens, slot, pos0,
+    n_valid) -> (logits [V], cache)."""
+    return jax.jit(make_local_prefill(cfg, mesh, params, cache, meta),
+                   donate_argnums=(2,))
+
+
+def make_local_decode(cfg, mesh: Mesh, params: dict, cache: dict,
+                      meta: Optional[dict]):
+    """shard_map-wrapped (un-jitted) decode(params, meta, cache, tokens,
+    positions, active) -> (logits [S, V], cache)."""
     model = get_model(cfg)
     is_hymeta = isinstance(cfg, HymetaConfig)
     pctx = ParallelCtx(model_axis="model", data_axis="data")
@@ -71,11 +78,18 @@ def build_decode(cfg, mesh: Mesh, params: dict, cache: dict,
         return model.decode(cfg, params, cache, tokens, positions,
                             active, pctx=pctx)
 
-    sm = _shard_map(
+    return _shard_map(
         local, mesh,
         in_specs=(pspecs, mspecs, cspecs, P("data"), P("data"), P("data")),
         out_specs=(P("data", None), cspecs))
-    return jax.jit(sm, donate_argnums=(2,))
+
+
+def build_decode(cfg, mesh: Mesh, params: dict, cache: dict,
+                 meta: Optional[dict]):
+    """Returns jitted decode(params, meta, cache, tokens, positions,
+    active) -> (logits [S, V], cache)."""
+    return jax.jit(make_local_decode(cfg, mesh, params, cache, meta),
+                   donate_argnums=(2,))
 
 
 def place_all(cfg, mesh: Mesh, params: dict, cache: dict,

@@ -38,7 +38,12 @@ def _load(args):
     ecfg = EngineConfig(max_num_seqs=args.max_num_seqs,
                         max_model_len=args.max_model_len,
                         kv_dtype=args.kv_cache_dtype)
-    return cfg, Engine(cfg, params, ecfg)
+    mesh = None
+    if args.tensor_parallel_size * args.data_parallel_size > 1:
+        from vllm_hymeta_tpu.parallel import make_mesh
+        mesh = make_mesh(tp=args.tensor_parallel_size,
+                         dp=args.data_parallel_size)
+    return cfg, Engine(cfg, params, ecfg, mesh=mesh)
 
 
 def main(argv=None):
@@ -55,6 +60,8 @@ def main(argv=None):
                         choices=["bfloat16", "int8"])
         sp.add_argument("--random-weights", action="store_true",
                         help="skip checkpoint load (benchmarking)")
+        sp.add_argument("--tensor-parallel-size", type=int, default=1)
+        sp.add_argument("--data-parallel-size", type=int, default=1)
 
     ps = sub.add_parser("serve")
     common(ps)
