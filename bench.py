@@ -86,10 +86,11 @@ def main():
         cfg = GLAswaConfig()  # real 7B dims
 
     params = build_params(cfg, scheme)
+    chunk = int(os.environ.get("BENCH_CHUNK", 4096))
     ecfg = EngineConfig(max_num_seqs=1,
                         max_model_len=prompt_len + gen + 64,
-                        prefill_chunk=8192,
-                        prefill_buckets=(8192,),
+                        prefill_chunk=chunk,
+                        prefill_buckets=(chunk,),
                         kv_dtype="bfloat16",
                         decode_block=16)
     eng = Engine(cfg, params, ecfg)
