@@ -101,3 +101,26 @@ class TestDistributedEngine:
         # verify each mesh token is near-argmax of the single-device model
         from tests.test_engine import _assert_greedy_consistent
         _assert_greedy_consistent(cfg, hymeta, params, prompt, r2.output)
+
+    def test_engine_mesh_quantized_w8a8(self):
+        """Sharded serving with quantized fused weights (generic specs)."""
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        from vllm_hymeta_tpu.quant import quantize_params_w8a8
+        import numpy as np
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(1),
+                                     dtype=jnp.float32)
+        qparams = quantize_params_w8a8(params)
+        ecfg = EngineConfig(max_num_seqs=2, max_model_len=128,
+                            prefill_chunk=16, prefill_buckets=(16,),
+                            decode_block=4)
+        mesh = make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+        eng = Engine(cfg, qparams, ecfg, mesh=mesh)
+        prompt = list(np.random.RandomState(1).randint(0, 256, size=9))
+        sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+        [r] = eng.generate([prompt], sp)
+        assert len(r.output) == 4
+        from tests.test_engine import _assert_greedy_consistent
+        _assert_greedy_consistent(cfg, gla_swa, qparams, prompt, r.output,
+                                  tol=1e-2)
