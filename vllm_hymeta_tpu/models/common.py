@@ -79,7 +79,10 @@ def _concat_linears(ps, tp: int = 1) -> dict:
 
 
 def _out_dim(p: dict) -> int:
-    return (p["w"] if "w" in p else p["qw"]).shape[1]
+    for key in ("w", "qw", "qw4"):
+        if key in p:
+            return p[key].shape[1]
+    raise KeyError(f"no weight leaf in {list(p)}")
 
 
 def _bias_dtype(ps):
