@@ -124,3 +124,27 @@ class TestDistributedEngine:
         from tests.test_engine import _assert_greedy_consistent
         _assert_greedy_consistent(cfg, gla_swa, qparams, prompt, r.output,
                                   tol=1e-2)
+
+    def test_engine_mesh_int4(self):
+        """INT4 packed weights under tensor parallelism (per-shard
+        repacking of row-parallel tensors)."""
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        from vllm_hymeta_tpu.quant import quantize_params_gptq
+        import numpy as np
+        cfg = tiny_glaswa(hidden_size=128, intermediate_size=256)
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(2),
+                                     dtype=jnp.float32)
+        qparams = quantize_params_gptq(params, bits=4, group_size=32)
+        ecfg = EngineConfig(max_num_seqs=2, max_model_len=128,
+                            prefill_chunk=16, prefill_buckets=(16,),
+                            decode_block=4)
+        mesh = make_mesh(tp=2, dp=1, devices=jax.devices()[:2])
+        eng = Engine(cfg, qparams, ecfg, mesh=mesh)
+        prompt = list(np.random.RandomState(2).randint(0, 256, size=9))
+        sp = SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True)
+        [r] = eng.generate([prompt], sp)
+        assert len(r.output) == 3
+        from tests.test_engine import _assert_greedy_consistent
+        _assert_greedy_consistent(cfg, gla_swa, qparams, prompt, r.output,
+                                  tol=1e-2)

@@ -138,8 +138,29 @@ def fuse_params(cfg, params: dict, tp: int = 1) -> dict:
                 m["gate_up_proj"] = _concat_linears(
                     [m.pop("gate_proj"), m.pop("up_proj")], tp)
                 lp[mkey] = m
+        if tp > 1:
+            _repack_row_int4(lp, tp)
         out["layers"].append(lp)
     return out
+
+
+def _repack_row_int4(lp: dict, tp: int):
+    """Row-sharded packed-INT4 tensors must be split-half packed PER
+    SHARD (ops.quant_matmul.repack_int4_rows)."""
+    from vllm_hymeta_tpu.ops.quant_matmul import repack_int4_rows
+
+    def visit(d):
+        for name in ("o_proj", "out_proj", "down_proj"):
+            p = d.get(name)
+            if isinstance(p, dict) and "qw4" in p:
+                p = dict(p)
+                p["qw4"] = repack_int4_rows(p["qw4"], tp)
+                d[name] = p
+
+    visit(lp.get("attn", {}))
+    for mkey in ("mlp", "shared_mlp"):
+        if mkey in lp:
+            visit(lp[mkey])
 
 
 def repeat_kv_heads(x: jax.Array, rep: int) -> jax.Array:

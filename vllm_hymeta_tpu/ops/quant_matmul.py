@@ -262,6 +262,17 @@ def unpack_int4(packed: jax.Array) -> jax.Array:
     return jnp.concatenate([lo, hi], axis=0)
 
 
+def repack_int4_rows(qw4: jax.Array, shards: int) -> jax.Array:
+    """Re-pack so each of `shards` contiguous K-blocks is independently
+    split-half packed — required before row-sharding a packed tensor
+    (each rank's local slice must be a valid packed matrix)."""
+    qw = unpack_int4(qw4)                 # [K, N]
+    K = qw.shape[0]
+    assert K % (2 * shards) == 0
+    blocks = jnp.split(qw, shards, axis=0)
+    return jnp.concatenate([pack_int4(b) for b in blocks], axis=0)
+
+
 def int4_matmul_ref(x, qw4, scales, zeros):
     """x [M, K] @ packed int4 weights (group-wise scales/zeros over K)."""
     qw = unpack_int4(qw4)

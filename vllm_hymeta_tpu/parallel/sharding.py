@@ -8,9 +8,9 @@ slot-sharded caches over the data axis.
 
 Specs are derived generically from the parameter tree, so fused
 projections (models.common.fuse_params) and quantized layouts (qw /
-w_scale / scales / zeros) shard correctly.  Packed-INT4 (qw4) cannot be
-row-sharded (split-half packing interleaves K shards) — loaders should
-keep INT4 single-rank or quantize per-shard.
+w_scale / scales / zeros) shard correctly.  Row-sharded packed-INT4
+(qw4) relies on fuse_params having re-packed each K-shard independently
+(ops.quant_matmul.repack_int4_rows).
 """
 
 from __future__ import annotations
@@ -48,9 +48,9 @@ def _linear_leaf_spec(kind: str, leaf: str, ndim: int):
         if leaf in ("w", "qw", "scales", "zeros"):
             return P("model", None)
         if leaf == "qw4":
-            raise ValueError(
-                "packed INT4 cannot be row-sharded (split-half packing); "
-                "quantize per shard or keep INT4 single-rank")
+            # valid only after models.common.fuse_params repacked the
+            # tensor per shard (repack_int4_rows)
+            return P("model", None)
         if leaf in ("b", "w_scale"):
             return REPL
     return REPL
