@@ -56,19 +56,6 @@ def _linear_leaf_spec(kind: str, leaf: str, ndim: int):
     return REPL
 
 
-def _spec_tree(node: Any, parent: str):
-    if isinstance(node, dict):
-        out = {}
-        for k, v in node.items():
-            out[k] = _spec_tree(v, k if isinstance(v, dict) or
-                                k in _LINEAR_KIND else parent)
-        return out
-    if isinstance(node, list):
-        return [_spec_tree(v, parent) for v in node]
-    # leaf array under parent module name
-    return None  # placeholder; resolved by caller context
-
-
 def param_specs(cfg, params: dict) -> dict:
     """Spec pytree congruent with the param tree."""
     is_hymeta = isinstance(cfg, HymetaConfig)
