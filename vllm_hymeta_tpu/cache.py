@@ -22,7 +22,6 @@ functions so updates are in-place.
 from __future__ import annotations
 
 import dataclasses
-from typing import List, Optional
 
 import jax
 import jax.numpy as jnp

@@ -6,7 +6,6 @@ from __future__ import annotations
 import os
 from typing import List, Optional, Sequence, Union
 
-import jax
 import jax.numpy as jnp
 
 from vllm_hymeta_tpu.config import load_config

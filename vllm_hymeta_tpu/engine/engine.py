@@ -18,7 +18,6 @@ Key differences from the CUDA design, driven by XLA's static-shape world:
 from __future__ import annotations
 
 import dataclasses
-import functools
 import time
 from collections import deque
 from typing import Dict, List, Optional, Tuple

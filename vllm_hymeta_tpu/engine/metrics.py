@@ -7,7 +7,7 @@ from __future__ import annotations
 import dataclasses
 import time
 from collections import deque
-from typing import Deque, Dict, Optional
+from typing import Deque, Dict
 
 
 @dataclasses.dataclass

@@ -11,7 +11,7 @@ wins.
 from __future__ import annotations
 
 import json
-from typing import Callable, List, Optional, Sequence, Union
+from typing import List, Sequence
 
 import jax
 import jax.numpy as jnp

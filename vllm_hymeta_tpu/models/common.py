@@ -3,13 +3,12 @@ assembly, parameter initializers."""
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp
 
 from vllm_hymeta_tpu.models.layers import linear
-from vllm_hymeta_tpu.ops import naive
 from vllm_hymeta_tpu.ops.swa import INVALID_POS
 from vllm_hymeta_tpu import cache as cache_lib
 

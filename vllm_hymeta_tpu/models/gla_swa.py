@@ -26,7 +26,7 @@ import jax.numpy as jnp
 from vllm_hymeta_tpu import cache as cache_lib
 from vllm_hymeta_tpu.config import GLAswaConfig
 from vllm_hymeta_tpu.models import common
-from vllm_hymeta_tpu.models.layers import embed, glu_mlp, linear, lm_head
+from vllm_hymeta_tpu.models.layers import glu_mlp, linear
 from vllm_hymeta_tpu.ops import gla_chunk, naive, swa
 from vllm_hymeta_tpu.parallel.pctx import NULL_CTX
 

@@ -13,7 +13,6 @@ path is a plain jnp matmul that XLA maps onto the MXU.
 
 from __future__ import annotations
 
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import numpy as np
 

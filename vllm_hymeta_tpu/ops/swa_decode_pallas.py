@@ -12,7 +12,7 @@ metatoken block is folded into the first step.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

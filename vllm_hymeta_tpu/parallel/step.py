@@ -8,12 +8,10 @@ can, which is why the whole step lives inside it).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from vllm_hymeta_tpu.config import HymetaConfig
 from vllm_hymeta_tpu.models import get_model

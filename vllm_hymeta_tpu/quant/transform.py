@@ -13,7 +13,7 @@ embeddings untouched.
 
 from __future__ import annotations
 
-from typing import List, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

@@ -24,10 +24,9 @@ Sequential indices 0/1 map to gk_a / gk_b
 from __future__ import annotations
 
 import glob
-import json
 import os
 import re
-from typing import Dict, Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import jax.numpy as jnp
 import numpy as np
