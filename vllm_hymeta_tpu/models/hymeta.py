@@ -37,8 +37,9 @@ import jax.numpy as jnp
 from vllm_hymeta_tpu import cache as cache_lib
 from vllm_hymeta_tpu.config import HymetaConfig
 from vllm_hymeta_tpu.models import common
-from vllm_hymeta_tpu.models.layers import (glu_mlp, linear,
-                                           moe_block, moe_block_grouped)
+from vllm_hymeta_tpu.models.layers import (embed, glu_mlp, linear,
+                                           lm_head, moe_block,
+                                           moe_block_grouped)
 from vllm_hymeta_tpu.ops import gla_chunk, naive, swa
 from vllm_hymeta_tpu.parallel.pctx import NULL_CTX, rms_norm_tp
 
