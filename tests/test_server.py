@@ -90,3 +90,28 @@ class TestServer:
         st, body = _post(server, "/v1/completions", {
             "prompt": "hello", "max_tokens": 2})
         assert st == 500 and "tokenizer" in body["error"]
+
+    def test_streaming_completion(self, server):
+        conn = http.client.HTTPConnection("127.0.0.1", server, timeout=300)
+        conn.request("POST", "/v1/completions", json.dumps({
+            "prompt_token_ids": [1, 2, 3, 4, 5], "max_tokens": 5,
+            "temperature": 0.0, "ignore_eos": True, "stream": True}),
+            {"Content-Type": "application/json"})
+        r = conn.getresponse()
+        assert r.status == 200
+        assert r.getheader("Content-Type") == "text/event-stream"
+        chunks, done = [], False
+        for raw in r.read().decode().split("\n\n"):
+            raw = raw.strip()
+            if not raw.startswith("data: "):
+                continue
+            payload = raw[len("data: "):]
+            if payload == "[DONE]":
+                done = True
+                break
+            chunks.append(json.loads(payload))
+        assert done
+        toks = [c["choices"][0]["token_ids"][0] for c in chunks
+                if c["choices"][0].get("token_ids")]
+        assert len(toks) == 5
+        assert chunks[-1]["choices"][0]["finish_reason"] == "length"

@@ -15,6 +15,7 @@ enqueue requests and wait on per-request events.
 from __future__ import annotations
 
 import json
+import queue
 import threading
 import time
 import uuid
@@ -36,6 +37,8 @@ class ServingEngine:
         self.lock = threading.Lock()
         self.events: Dict[int, threading.Event] = {}
         self.results: Dict[int, object] = {}
+        # rid -> [request_obj, queue, n_tokens_already_pushed]
+        self.streams: Dict[int, list] = {}
         self.running = True
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
@@ -45,11 +48,23 @@ class ServingEngine:
             with self.lock:
                 has_work = self.engine.has_work()
                 finished = self.engine.step() if has_work else []
+                stream_items = list(self.streams.items())
+            for rid, st in stream_items:
+                req, q, sent = st
+                out = list(req.output)
+                for tok in out[sent:]:
+                    q.put(("token", tok))
+                st[2] = len(out)
+                if req.finished:
+                    q.put(("done", req))
+                    with self.lock:
+                        self.streams.pop(rid, None)
             for req in finished:
-                self.results[req.req_id] = req
-                ev = self.events.pop(req.req_id, None)
-                if ev:
-                    ev.set()
+                if req.req_id in self.results or req.req_id in self.events:
+                    self.results[req.req_id] = req
+                    ev = self.events.pop(req.req_id, None)
+                    if ev:
+                        ev.set()
             if not has_work:
                 time.sleep(0.005)
 
@@ -61,6 +76,17 @@ class ServingEngine:
         if not ev.wait(timeout):
             raise TimeoutError(f"request {rid} timed out")
         return self.results.pop(rid)
+
+    def submit_stream(self, prompt_tokens, params: SamplingParams):
+        """Enqueue a request and return a queue of ("token", id) items
+        followed by one ("done", request)."""
+        q: "queue.Queue" = queue.Queue()
+        with self.lock:
+            rid = self.engine.add_request(prompt_tokens, params)
+            req = self.engine.waiting[-1]
+            assert req.req_id == rid
+            self.streams[rid] = [req, q, 0]
+        return q
 
     def shutdown(self):
         self.running = False
@@ -127,6 +153,59 @@ def make_handler(serving: ServingEngine):
             tok = serving.tokenizer
             return tok.decode(ids) if tok is not None else None
 
+        def _sse_start(self):
+            self.send_response(200)
+            self.send_header("Content-Type", "text/event-stream")
+            self.send_header("Cache-Control", "no-cache")
+            self.send_header("Connection", "close")
+            self.end_headers()
+
+        def _sse_send(self, obj):
+            self.wfile.write(b"data: " + json.dumps(obj).encode() + b"\n\n")
+            self.wfile.flush()
+
+        def _stream(self, ids, body: dict, chat: bool):
+            """SSE streaming for completions/chat (OpenAI `stream: true`)."""
+            q = serving.submit_stream(ids, _params_from_body(body))
+            self._sse_start()
+            rid = (f"chatcmpl-{uuid.uuid4().hex[:24]}" if chat
+                   else f"cmpl-{uuid.uuid4().hex[:24]}")
+            created = int(time.time())
+            out_ids, prev_text = [], ""
+            while True:
+                kind, val = q.get()
+                if kind == "done":
+                    finish = val.finish_reason
+                    delta = ({"delta": {}} if chat else {"text": ""})
+                    self._sse_send({
+                        "id": rid, "created": created,
+                        "object": ("chat.completion.chunk" if chat
+                                   else "text_completion"),
+                        "model": serving.model_name,
+                        "choices": [{"index": 0, **delta,
+                                     "finish_reason": finish}]})
+                    self.wfile.write(b"data: [DONE]\n\n")
+                    self.wfile.flush()
+                    return
+                out_ids.append(val)
+                text = self._decode(out_ids)
+                piece = (text[len(prev_text):] if text is not None else "")
+                if text is not None:
+                    prev_text = text
+                if chat:
+                    delta = {"delta": {"role": "assistant",
+                                       "content": piece,
+                                       "token_ids": [val]}}
+                else:
+                    delta = {"text": piece, "token_ids": [val]}
+                self._sse_send({
+                    "id": rid, "created": created,
+                    "object": ("chat.completion.chunk" if chat
+                               else "text_completion"),
+                    "model": serving.model_name,
+                    "choices": [{"index": 0, **delta,
+                                 "finish_reason": None}]})
+
         def _completions(self, body: dict):
             if "prompt_token_ids" in body:
                 ids = list(body["prompt_token_ids"])
@@ -135,6 +214,8 @@ def make_handler(serving: ServingEngine):
                 if isinstance(prompt, list):
                     prompt = prompt[0]
                 ids = self._encode(prompt)
+            if body.get("stream"):
+                return self._stream(ids, body, chat=False)
             req = serving.submit(ids, _params_from_body(body))
             text = self._decode(req.output)
             self._json(200, {
@@ -165,6 +246,8 @@ def make_handler(serving: ServingEngine):
                 text = "\n".join(f"{m.get('role')}: {m.get('content')}"
                                  for m in msgs) + "\nassistant:"
                 ids = self._encode(text)
+            if body.get("stream"):
+                return self._stream(list(ids), body, chat=True)
             req = serving.submit(list(ids), _params_from_body(body))
             text = self._decode(req.output)
             self._json(200, {
