@@ -57,3 +57,32 @@ class TestTraining:
         mask = jnp.ones((1, 10)).at[:, :5].set(0.0)
         partial = causal_lm_loss(cfg, params, toks, loss_mask=mask)
         assert not np.isclose(float(full), float(partial))
+
+    def test_remat_grads_match(self):
+        """Per-layer checkpointing must not change loss or gradients."""
+        cfg = tiny_glaswa(num_hidden_layers=2)
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(6),
+                                     dtype=jnp.float32)
+        toks = jax.random.randint(jax.random.PRNGKey(7), (2, 12), 0, 256)
+        l0, g0 = loss_and_grad(cfg, params, toks, remat=False)
+        l1, g1 = loss_and_grad(cfg, params, toks, remat=True)
+        assert np.isclose(float(l0), float(l1), rtol=1e-6)
+        for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-5, atol=2e-6)
+
+    def test_optax_train_step(self):
+        from vllm_hymeta_tpu.train import make_train_step
+        cfg = tiny_glaswa(num_hidden_layers=2)
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(8),
+                                     dtype=jnp.float32)
+        toks = jax.random.randint(jax.random.PRNGKey(9), (2, 16), 0, 256)
+        import optax
+        step, init = make_train_step(cfg, optax.adamw(3e-3), remat=True)
+        opt_state = init(params)
+        params, opt_state, l0 = step(params, opt_state, toks)
+        losses = [float(l0)]
+        for _ in range(6):
+            params, opt_state, loss = step(params, opt_state, toks)
+            losses.append(float(loss))
+        assert losses[-1] < losses[0]

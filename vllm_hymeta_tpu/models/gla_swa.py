@@ -18,6 +18,7 @@ Three execution modes over the same parameters:
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -100,7 +101,6 @@ def _gla_qkvg(cfg: GLAswaConfig, ap: dict, x: jax.Array, pctx=NULL_CTX):
     if "qkvg_proj" in ap:
         # fused [q | k | v | gk_a] projection (fuse_params)
         qd, kvd = H * D, Hkv * D
-        lr = cfg.gate_low_rank_dim // pctx.tp if False else             ap["qkvg_proj"]["b"].shape[-1] - qd - 2 * kvd             if "b" in ap["qkvg_proj"] else cfg.gate_low_rank_dim
         y = linear(ap["qkvg_proj"], x)
         q, k, v, gk_lr = jnp.split(
             y, [qd, qd + kvd, qd + 2 * kvd], axis=-1)
@@ -139,13 +139,18 @@ def _swa_rope(cfg: GLAswaConfig, q, k, positions):
 
 def forward_full(cfg: GLAswaConfig, params: dict, tokens: jax.Array,
                  positions: Optional[jax.Array] = None,
-                 pctx=NULL_CTX) -> jax.Array:
-    """tokens [B, T] -> logits [B, T, V] (fp32). Naive attention ops."""
+                 pctx=NULL_CTX, remat: bool = False) -> jax.Array:
+    """tokens [B, T] -> logits [B, T, V] (fp32). Naive attention ops.
+
+    remat=True checkpoints each layer (activation memory O(L·h) instead of
+    O(L·T·h) — the role of the reference's `gradient_checkpointing`,
+    `hf_model/modeling_hymeta.py:349-361`)."""
     B, T = tokens.shape
     if positions is None:
         positions = jnp.arange(T, dtype=jnp.int32)[None].repeat(B, 0)
     x = common.embed_vp(params["embed"], tokens, pctx)
-    for i, lp in enumerate(params["layers"]):
+
+    def layer_body(i: int, lp: dict, x: jax.Array) -> jax.Array:
         res = x
         y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
         ap = lp["attn"]
@@ -165,9 +170,15 @@ def forward_full(cfg: GLAswaConfig, params: dict, tokens: jax.Array,
                 q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
                 v.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))
             att = _gla_out(cfg, ap, o.transpose(0, 2, 1, 3), pctx)
-        y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
-                                         cfg.norm_eps)
-        x = res + pctx.psum(glu_mlp(lp["mlp"], y))
+        y, res2 = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                          cfg.norm_eps)
+        return res2 + pctx.psum(glu_mlp(lp["mlp"], y))
+
+    for i, lp in enumerate(params["layers"]):
+        fn = functools.partial(layer_body, i)
+        if remat:
+            fn = jax.checkpoint(fn)
+        x = fn(lp, x)
     x = naive.rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
     return common.lm_head_gather(params["lm_head"], x, pctx)
 

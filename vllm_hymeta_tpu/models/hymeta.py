@@ -29,6 +29,7 @@ one-time computation.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional, Tuple
 
 import jax
@@ -305,9 +306,12 @@ def _hybrid_merge(cfg: HymetaConfig, ap: dict, swa_out: jax.Array,
 # ---------------------------------------------------------------------------
 
 def forward_full(cfg: HymetaConfig, params: dict,
-                 tokens: jax.Array) -> jax.Array:
+                 tokens: jax.Array, remat: bool = False) -> jax.Array:
     """tokens [B, T] -> logits [B, T, V] fp32.  Prepends the metatokens and
-    strips them at the end (`hf_model/modeling_hymeta.py:313-316,384-385`)."""
+    strips them at the end (`hf_model/modeling_hymeta.py:313-316,384-385`).
+
+    remat=True checkpoints each layer (the reference's
+    `gradient_checkpointing`, `hf_model/modeling_hymeta.py:349-361`)."""
     B, T = tokens.shape
     M = cfg.num_meta_tokens
     lbs = lower_bound_table(cfg, params)
@@ -319,7 +323,8 @@ def forward_full(cfg: HymetaConfig, params: dict,
 
     H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
                  cfg.head_dim)
-    for i, lp in enumerate(params["layers"]):
+
+    def layer_body(i: int, lp: dict, x: jax.Array) -> jax.Array:
         res = x
         y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
         ap = lp["attn"]
@@ -346,9 +351,15 @@ def forward_full(cfg: HymetaConfig, params: dict,
 
         att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
                             common.merge_heads(gla_out))
-        y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
-                                          cfg.norm_eps)
-        x = res + _ffn(cfg, lp, y2, grouped_moe=False)
+        y2, res2 = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                           cfg.norm_eps)
+        return res2 + _ffn(cfg, lp, y2, grouped_moe=False)
+
+    for i, lp in enumerate(params["layers"]):
+        fn = functools.partial(layer_body, i)
+        if remat:
+            fn = jax.checkpoint(fn)
+        x = fn(lp, x)
 
     x = naive.rms_norm(x, params["final_norm"]["w"], cfg.norm_eps)
     x = x[:, M:]

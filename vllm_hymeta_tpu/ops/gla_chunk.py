@@ -43,15 +43,45 @@ def gla_chunked(
     scale: Optional[float] = None,
     chunk: int = 128,
 ) -> Tuple[jax.Array, jax.Array]:
-    """Dispatcher: Pallas kernel on TPU, XLA scan elsewhere."""
+    """Dispatcher: Pallas kernel on TPU, XLA scan elsewhere.
+
+    Differentiable on both paths: the Pallas forward carries a custom VJP
+    whose backward is the XLA reference's VJP (same math, so gradients are
+    exact) — this is the training capability of the reference's fla GLA ops
+    (`hf_model/linear_attention.py:17,161`, SURVEY.md N7)."""
     if jax.default_backend() in ("tpu", "axon"):
-        from vllm_hymeta_tpu.ops.gla_chunk_pallas import gla_chunked_pallas
         if q.shape[-1] == v.shape[-1] and q.shape[2] > 1:
-            return gla_chunked_pallas(q, k, v, g,
-                                      initial_state=initial_state,
-                                      scale=scale)
+            if scale is None:
+                scale = q.shape[-1] ** -0.5
+            if initial_state is None:
+                B, H, _, Dk = q.shape
+                initial_state = jnp.zeros((B, H, Dk, v.shape[-1]),
+                                          jnp.float32)
+            return _gla_pallas_diff(q, k, v, g, initial_state, scale)
     return gla_chunked_ref(q, k, v, g, initial_state=initial_state,
                            scale=scale, chunk=chunk)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def _gla_pallas_diff(q, k, v, g, s0, scale: float):
+    from vllm_hymeta_tpu.ops.gla_chunk_pallas import gla_chunked_pallas
+    return gla_chunked_pallas(q, k, v, g, initial_state=s0, scale=scale)
+
+
+def _gla_pallas_fwd(q, k, v, g, s0, scale: float):
+    return _gla_pallas_diff(q, k, v, g, s0, scale), (q, k, v, g, s0)
+
+
+def _gla_pallas_bwd(scale: float, res, cts):
+    q, k, v, g, s0 = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, g_, s_: gla_chunked_ref(
+            q_, k_, v_, g_, initial_state=s_, scale=scale),
+        q, k, v, g, s0)
+    return vjp(cts)
+
+
+_gla_pallas_diff.defvjp(_gla_pallas_fwd, _gla_pallas_bwd)
 
 
 @functools.partial(jax.jit, static_argnames=("scale", "chunk"))
