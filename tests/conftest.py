@@ -16,6 +16,9 @@ if "--xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+# TESTS_ON_TPU=1 keeps the real backend so tests/test_tpu_kernels.py can
+# check Pallas kernels against their jnp references on hardware.
+if os.environ.get("TESTS_ON_TPU") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -119,3 +119,36 @@ class TestTransforms:
         # harsh test; quantization noise flips some near-ties)
         agree = (np.asarray(lf.argmax(-1)) == np.asarray(lq.argmax(-1)))
         assert agree.mean() >= 0.5
+
+
+class TestFusedActQuant:
+    def test_glu_quant_ref_matches_unfused_mlp(self):
+        """The fused silu·mul→int8 path must track the unfused W8A8 GLU."""
+        key = jax.random.PRNGKey(3)
+        M, H, I = 96, 64, 128
+        gu_w = jax.random.normal(key, (H, 2 * I), jnp.bfloat16) * 0.2
+        down_w = jax.random.normal(jax.random.fold_in(key, 1),
+                                   (I, H)) * 0.2
+        x = jax.random.normal(jax.random.fold_in(key, 2), (M, H),
+                              jnp.bfloat16)
+        from vllm_hymeta_tpu.quant.transform import quantize_params_w8a8
+        dp = quantize_params_w8a8({"l": {"down_proj": {"w": down_w}}}
+                                  )["l"]["down_proj"]
+        p = {"gate_up_proj": {"w": gu_w}, "down_proj": dp}
+        from vllm_hymeta_tpu.models.layers import glu_mlp
+        y = glu_mlp(p, x)                     # fused path (rows > 64)
+        g, u = jnp.split(x @ gu_w, 2, axis=-1)
+        a = jax.nn.silu(g) * u
+        yref = quant_matmul.w8a8_matmul_ref(a, dp["qw"], dp["w_scale"])
+        rms = float(jnp.sqrt(jnp.mean(
+            (y.astype(jnp.float32) - yref.astype(jnp.float32)) ** 2)))
+        ref = float(jnp.sqrt(jnp.mean(yref.astype(jnp.float32) ** 2)))
+        assert rms / (ref + 1e-9) < 0.05
+
+    def test_quantize_rows_equals_per_token(self):
+        x = jax.random.normal(jax.random.PRNGKey(4), (33, 256),
+                              jnp.bfloat16)
+        q, s = quant_matmul.quantize_rows(x)
+        qr, sr = quant_matmul.quantize_per_token(x)
+        np.testing.assert_allclose(np.asarray(s), np.asarray(sr))
+        np.testing.assert_array_equal(np.asarray(q), np.asarray(qr))

@@ -1,0 +1,145 @@
+"""On-hardware parity tests for the Pallas kernels.
+
+The rest of the suite runs on virtual CPU devices where every dispatcher
+falls back to its jnp reference — which is exactly how a TPU-only kernel
+bug (e.g. an out-of-bounds reduction tile) can hide.  This module runs the
+REAL kernels against the references on the chip.
+
+Run with:  TESTS_ON_TPU=1 python -m pytest tests/test_tpu_kernels.py -q
+(skipped automatically when no TPU backend is available / env not set).
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+pytestmark = pytest.mark.skipif(
+    os.environ.get("TESTS_ON_TPU") != "1"
+    or jax.default_backend() not in ("tpu", "axon"),
+    reason="needs TESTS_ON_TPU=1 and a TPU backend")
+
+
+def _rms(a, b):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    return float(np.sqrt(np.mean((a - b) ** 2)) /
+                 (np.sqrt(np.mean(b ** 2)) + 1e-9))
+
+
+# the 7B decode/prefill matmul shapes, including the non-dividing K=18944
+W8A8_SHAPES = [(1, 3584, 4608), (1, 18944, 3584), (8, 3584, 37888 // 2),
+               (1, 3584, 18944), (4096, 3584, 4608), (16, 4608, 3584)]
+
+
+@pytest.mark.parametrize("M,K,N", W8A8_SHAPES)
+def test_w8a8_matmul_matches_ref(M, K, N):
+    from vllm_hymeta_tpu.ops import quant_matmul as qm
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    qw = jax.random.randint(key, (K, N), -127, 127, jnp.int8)
+    ws = jnp.full((N,), 3e-4, jnp.float32)
+    out = np.asarray(qm.w8a8_matmul(x, qw, ws))
+    ref = np.asarray(qm.w8a8_matmul_ref(x, qw, ws))
+    assert np.isfinite(out).all()
+    assert _rms(out, ref) < 2e-2, _rms(out, ref)
+
+
+@pytest.mark.parametrize("M,K,N", [(1, 3584, 4608), (16, 18944, 3584),
+                                   (1, 3584, 18944)])
+def test_int4_matmul_matches_ref(M, K, N):
+    from vllm_hymeta_tpu.ops import quant_matmul as qm
+    key = jax.random.PRNGKey(1)
+    x = jax.random.normal(key, (M, K), jnp.bfloat16)
+    qw = jax.random.randint(key, (K, N), -8, 8, jnp.int8)
+    qw4 = qm.pack_int4(qw)
+    G = K // 64
+    sc = jnp.full((G, N), 2e-3, jnp.bfloat16)
+    zr = jnp.zeros((G, N), jnp.bfloat16)
+    out = np.asarray(qm.int4_matmul(x, qw4, sc, zr))
+    ref = np.asarray(qm.int4_matmul_ref(x, qw4, sc, zr))
+    assert np.isfinite(out).all()
+    assert _rms(out, ref) < 2e-2, _rms(out, ref)
+
+
+@pytest.mark.parametrize("M,K", [(4096, 3584), (4096, 37888), (33, 4608)])
+def test_quantize_rows_matches_ref(M, K):
+    from vllm_hymeta_tpu.ops import quant_matmul as qm
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (M, K), jnp.bfloat16) * 3.0
+    q, s = qm.quantize_rows(x)
+    qr, sr = qm.quantize_per_token(x)
+    assert _rms(s, sr) < 1e-3
+    assert np.mean(np.asarray(q) != np.asarray(qr)) < 1e-2  # round ties
+
+
+def test_glu_quant_matches_ref():
+    from vllm_hymeta_tpu.ops import quant_matmul as qm
+    key = jax.random.PRNGKey(6)
+    gu = jax.random.normal(key, (512, 37888), jnp.bfloat16) * 2.0
+    q, s = qm.glu_quant(gu)
+    qr, sr = qm.glu_quant_ref(gu)
+    assert _rms(s, sr) < 1e-3
+    deq = np.asarray(q, np.float32) * np.asarray(s)
+    deqr = np.asarray(qr, np.float32) * np.asarray(sr)
+    assert _rms(deq, deqr) < 1e-2
+
+
+def test_gla_chunked_pallas_matches_ref():
+    from vllm_hymeta_tpu.ops import gla_chunk
+    from vllm_hymeta_tpu.ops.gla_chunk_pallas import gla_chunked_pallas
+    key = jax.random.PRNGKey(2)
+    B, H, T, D = 1, 4, 512, 128
+    q = jax.random.normal(key, (B, H, T, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, H, T, D),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, H, T, D),
+                          jnp.bfloat16)
+    g = -jnp.abs(jax.random.normal(jax.random.fold_in(key, 3),
+                                   (B, H, T, D), jnp.float32)) * 0.1
+    s0 = jax.random.normal(jax.random.fold_in(key, 4), (B, H, D, D),
+                           jnp.float32) * 0.05
+    o_p, s_p = gla_chunked_pallas(q, k, v, g, initial_state=s0)
+    o_r, s_r = gla_chunk.gla_chunked_ref(q, k, v, g, initial_state=s0)
+    assert _rms(o_p, o_r) < 2e-2, _rms(o_p, o_r)
+    assert _rms(s_p, s_r) < 2e-2, _rms(s_p, s_r)
+
+
+def test_flash_window_prefill_matches_ref():
+    from vllm_hymeta_tpu.ops import swa
+    key = jax.random.PRNGKey(3)
+    Tq, Hq, Hkv, D, W = 512, 4, 2, 128, 128
+    ctx = 256
+    q = jax.random.normal(key, (Tq, Hq, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (ctx + Tq, Hkv, D),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (ctx + Tq, Hkv, D),
+                          jnp.bfloat16)
+    q_pos = ctx + jnp.arange(Tq, dtype=jnp.int32)
+    k_pos = jnp.arange(ctx + Tq, dtype=jnp.int32)
+    out, lse = swa.flash_window_prefill(q, k, v, q_pos, k_pos, W,
+                                        ctx_len=ctx)
+    ref, lref = swa.flash_window_prefill_ref(q, k, v, q_pos, k_pos, W, ctx)
+    assert _rms(out, ref) < 2e-2
+    assert _rms(lse, lref) < 2e-2
+
+
+def test_fused_decode_attention_matches_ref():
+    from vllm_hymeta_tpu.ops import swa
+    from vllm_hymeta_tpu.ops.swa_decode_pallas import \
+        fused_decode_attention_pallas
+    key = jax.random.PRNGKey(4)
+    S, Hq, Hkv, D, R = 4, 4, 2, 128, 2048
+    W = 1024
+    q = jax.random.normal(key, (S, Hq, D), jnp.bfloat16)
+    rk = jax.random.normal(jax.random.fold_in(key, 1), (S, Hkv, R, D),
+                           jnp.bfloat16)
+    rv = jax.random.normal(jax.random.fold_in(key, 2), (S, Hkv, R, D),
+                           jnp.bfloat16)
+    positions = jnp.array([5, 900, 2047, 4000], jnp.int32)
+    out = fused_decode_attention_pallas(q, rk, rv, positions, W)
+    ref, _ = swa.swa_decode(q, rk, rv, positions, W)
+    assert _rms(out, ref.astype(out.dtype)) < 2e-2

@@ -131,6 +131,9 @@ class Engine:
         self._compiled_decode = None
         self._compiled_start = None
         self._last_was_prefill = False
+        # in-flight decode block: (was_active, ids_dev, dispatch_positions)
+        self._pending: Optional[Tuple[np.ndarray, jax.Array,
+                                      np.ndarray]] = None
 
     # ------------------------------------------------------------------ api
 
@@ -286,9 +289,70 @@ class Engine:
         self.free_slots.append(req.slot)
         del self.slot_req[req.slot]
 
+    # ------------------------------------------------- decode pipelining
+
+    def _dispatch_decode(self, tokens, positions_np: np.ndarray):
+        """Launch one decode block asynchronously; tokens may be a host
+        array or a device array (speculative chaining)."""
+        self.rng, k = jax.random.split(self.rng)
+        fn = self._decode_fn()
+        was_active = self.active.copy()
+        ids, self.cache, self.samp_state = fn(
+            self.params, self.meta, self.cache, self.samp_state,
+            jnp.asarray(tokens),
+            jnp.asarray(positions_np.astype(np.int32)),
+            jnp.asarray(self.active), k)
+        self._pending = (was_active, ids, positions_np.copy())
+
+    def _can_speculate(self) -> bool:
+        """True when the NEXT decode block can be dispatched before reading
+        the in-flight one: nothing in the pending or next block can finish
+        a request or change the schedule."""
+        if self.waiting:
+            return False
+        B = self.ecfg.decode_block
+        for req in self.slot_req.values():
+            if req.prefill_done < len(req.prompt):
+                return False
+            if not self.active[req.slot]:
+                return False
+            if not req.params.ignore_eos:
+                return False
+            if len(req.output) + 2 * B > req.params.max_tokens:
+                return False
+            if self.positions[req.slot] + 2 * B + 1 >= self.ecfg.max_model_len:
+                return False
+        return True
+
+    def _harvest(self, was_active: np.ndarray, ids_dev,
+                 finished: List[Request]):
+        ids = np.asarray(ids_dev)  # [S, decode_block]; blocks until ready
+        for slot in list(self.slot_req):
+            req = self.slot_req[slot]
+            if not was_active[slot]:
+                continue
+            for j in range(ids.shape[1]):
+                self.positions[slot] += 1
+                self._emit(req, int(ids[slot, j]), finished)
+                if req.finished:
+                    break
+
     def step(self) -> List[Request]:
         """Run one engine step; returns requests finished during it."""
         finished = []
+
+        # an in-flight decode block: chain the next one (device-side
+        # tokens, no host read) when safe, THEN block on the old results —
+        # the device never idles on the host round-trip
+        if self._pending is not None:
+            was_active, ids_dev, disp_pos = self._pending
+            self._pending = None
+            if self._can_speculate():
+                B = self.ecfg.decode_block
+                next_pos = disp_pos + B * was_active.astype(disp_pos.dtype)
+                self._dispatch_decode(ids_dev[:, -1], next_pos)
+            self._harvest(was_active, ids_dev, finished)
+            return finished
 
         # admit new requests
         while self.waiting and self.free_slots:
@@ -332,7 +396,9 @@ class Engine:
                     self.active[pre.slot] = True
             return finished
 
-        # decode block for all active slots (decode_block tokens/dispatch)
+        # decode block for all active slots (decode_block tokens/dispatch);
+        # results are harvested on the NEXT step so the block runs while
+        # the host does its bookkeeping
         if not any(self.active):
             return finished
         S = self.ecfg.max_num_seqs
@@ -340,23 +406,7 @@ class Engine:
         for slot, req in self.slot_req.items():
             if self.active[slot]:
                 tokens[slot] = req.output[-1]
-        self.rng, k = jax.random.split(self.rng)
-        fn = self._decode_fn()
-        was_active = self.active.copy()
-        ids, self.cache, self.samp_state = fn(
-            self.params, self.meta, self.cache, self.samp_state,
-            jnp.asarray(tokens), jnp.asarray(self.positions.astype(np.int32)),
-            jnp.asarray(self.active), k)
-        ids = np.asarray(ids)  # [S, decode_block]
-        for slot in list(self.slot_req):
-            req = self.slot_req[slot]
-            if not was_active[slot]:
-                continue
-            for j in range(ids.shape[1]):
-                self.positions[slot] += 1
-                self._emit(req, int(ids[slot, j]), finished)
-                if req.finished:
-                    break
+        self._dispatch_decode(tokens, self.positions)
         return finished
 
     def _emit(self, req: Request, tok: int, finished: List[Request]):

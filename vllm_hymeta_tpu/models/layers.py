@@ -57,6 +57,21 @@ def glu_mlp(p: dict, x: jax.Array) -> jax.Array:
     """
     if "gate_up_proj" in p:
         gu = linear(p["gate_up_proj"], x)
+        dp = p["down_proj"]
+        rows = 1
+        for d in gu.shape[:-1]:
+            rows *= d
+        if "qw" in dp and "w_scale" in dp and rows > 64:
+            # W8A8 down proj: fuse silu·mul with the activation quant (one
+            # HBM pass) and feed XLA's int8 dot pre-quantized
+            sh = gu.shape
+            qa, a_scale = quant_matmul.glu_quant(gu.reshape(-1, sh[-1]))
+            y = quant_matmul.w8a8_matmul_prequant(
+                qa, a_scale, dp["qw"], dp["w_scale"], out_dtype=x.dtype)
+            y = y.reshape(*sh[:-1], dp["qw"].shape[1])
+            if "b" in dp and dp["b"] is not None:
+                y = y + dp["b"].astype(y.dtype)
+            return y
         g, u = jnp.split(gu, 2, axis=-1)
     else:
         g = linear(p["gate_proj"], x)

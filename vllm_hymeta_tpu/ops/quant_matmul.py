@@ -145,6 +145,128 @@ def quantize_per_token(x: jax.Array):
     return q.astype(jnp.int8), scale
 
 
+def _quant_rows_kernel(x_ref, q_ref, s_ref):
+    x = x_ref[:].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(x), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q_ref[:] = jnp.clip(jnp.round(x / scale), -127, 127).astype(jnp.int8)
+    s_ref[:] = scale
+
+
+@jax.jit
+def _quantize_rows_pallas(x: jax.Array):
+    """[M, K] bf16 -> (int8 [M, K], scale f32 [M, 1]) in ONE pass over HBM.
+    XLA splits the row-amax reduction and the quantized write into separate
+    sweeps of the activation (~3x the traffic); one kernel does both."""
+    M, K = x.shape
+    bm = max(32, min(256, (4 * 1024 * 1024 // (K * 2)) // 32 * 32))
+    padm = (-M) % bm
+    if padm:
+        x = jnp.pad(x, ((0, padm), (0, 0)))
+    grid = ((M + padm) // bm,)
+    q, s = pl.pallas_call(
+        _quant_rows_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, K), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((bm, K), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M + padm, K), jnp.int8),
+            jax.ShapeDtypeStruct((M + padm, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * M * K, bytes_accessed=M * K * 3 + M * 4,
+            transcendentals=0),
+    )(x)
+    return q[:M], s[:M]
+
+
+def quantize_rows(x: jax.Array):
+    """Production row-quant dispatcher (jnp reference: quantize_per_token)."""
+    if _on_tpu() and x.ndim == 2 and x.shape[1] % 128 == 0 \
+            and x.shape[1] * 2 * 32 <= 8 * 1024 * 1024:
+        return _quantize_rows_pallas(x)
+    return quantize_per_token(x)
+
+
+def _glu_quant_kernel(gu_ref, q_ref, s_ref):
+    gu = gu_ref[:].astype(jnp.float32)
+    H = gu.shape[1] // 2
+    a = jax.nn.silu(gu[:, :H]) * gu[:, H:]
+    amax = jnp.max(jnp.abs(a), axis=1, keepdims=True)
+    scale = jnp.maximum(amax, 1e-6) / 127.0
+    q_ref[:] = jnp.clip(jnp.round(a / scale), -127, 127).astype(jnp.int8)
+    s_ref[:] = scale
+
+
+@jax.jit
+def _glu_quant_pallas(gu: jax.Array):
+    """Fused SwiGLU + per-token INT8 quant: gu [M, 2H] (gate ∥ up) ->
+    (int8 [M, H], scale f32 [M, 1]).  Reads the gate_up activation once."""
+    M, K2 = gu.shape
+    H = K2 // 2
+    # fp32 intermediates (g, u, a) triple the block footprint — budget the
+    # bf16 block at ~2.5MB to stay inside the 16MB scoped-VMEM limit
+    bm = max(32, min(128, (5 * 1024 * 1024 // (K2 * 2 * 2)) // 32 * 32))
+    padm = (-M) % bm
+    if padm:
+        gu = jnp.pad(gu, ((0, padm), (0, 0)))
+    grid = ((M + padm) // bm,)
+    q, s = pl.pallas_call(
+        _glu_quant_kernel,
+        grid=grid,
+        in_specs=[pl.BlockSpec((bm, K2), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((bm, H), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M + padm, H), jnp.int8),
+            jax.ShapeDtypeStruct((M + padm, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * M * H, bytes_accessed=M * K2 * 2 + M * H,
+            transcendentals=M * H),
+    )(gu)
+    return q[:M], s[:M]
+
+
+def glu_quant_ref(gu: jax.Array):
+    H = gu.shape[-1] // 2
+    a = jax.nn.silu(gu[..., :H].astype(jnp.float32)) \
+        * gu[..., H:].astype(jnp.float32)
+    return quantize_per_token(a)
+
+
+def glu_quant(gu: jax.Array):
+    if _on_tpu() and gu.ndim == 2 and gu.shape[1] % 256 == 0 \
+            and gu.shape[1] * 2 * 32 <= 8 * 1024 * 1024:
+        return _glu_quant_pallas(gu)
+    return glu_quant_ref(gu)
+
+
+def w8a8_matmul_prequant(qx, x_scale, qw, w_scale, out_dtype=jnp.bfloat16):
+    """Large-M W8A8 with activations already quantized: XLA's native int8
+    dot runs at MXU peak; the fp32 rescale fuses into the epilogue."""
+    acc = jax.lax.dot_general(
+        qx, qw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    y = acc.astype(jnp.float32) * x_scale * w_scale.astype(jnp.float32)
+    return y.astype(out_dtype)
+
+
 def w8a8_matmul_ref(x, qw, w_scale):
     qx, x_scale = quantize_per_token(x)
     # int8 x int8 -> int32 natively (no widening of the weight read)
@@ -208,10 +330,23 @@ def _w8a8_matmul_pallas(qx, x_scale, qw, w_scale, out_dtype,
     )(qx, x_scale, qw, w_scale.reshape(1, -1))
 
 
+def _pick_tile(n: int, mult: int, lo: int, hi: int) -> int:
+    """Largest divisor of n in [lo, hi] that is a multiple of mult (0 if
+    none) — Mosaic requires block dims at sublane/lane multiples, and a
+    non-dividing reduction tile would accumulate out-of-bounds garbage."""
+    b = hi - hi % mult
+    while b >= lo:
+        if n % b == 0:
+            return b
+        b -= mult
+    return 0
+
+
 def w8a8_matmul(x, qw, w_scale):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
-    if _on_tpu() and x2.shape[0] <= 64:
+    if _on_tpu() and x2.shape[0] <= 64 \
+            and x2.shape[1] % 32 == 0 and qw.shape[1] % 128 == 0:
         # decode matvec: weight-read bound — Pallas with few, large blocks
         # so DMA (not per-step overhead) dominates
         qx, x_scale = quantize_per_token(x2)
@@ -222,12 +357,32 @@ def w8a8_matmul(x, qw, w_scale):
             qx = jnp.pad(qx, ((0, pad), (0, 0)))
             x_scale = jnp.pad(x_scale, ((0, pad), (0, 0)))
         K = qx.shape[1]
+        N = qw.shape[1]
+        # reduction tile MUST divide the K walk: an out-of-bounds K block
+        # would read garbage weights against live activation columns.
+        if K <= 4736:
+            bk = K
+        else:
+            bk = _pick_tile(K, 32, 1024, 4736)
+            if bk == 0:
+                # no usable divisor: zero-pad qx's columns so the final
+                # partial block is harmless (0 * garbage == 0)
+                bk = 4096
+                qx = jnp.pad(qx, ((0, 0), (0, (-K) % bk)))
+        # scoped VMEM is 16MB: keep the double-buffered weight tile under
+        # ~12MB (bk*bn*2 bytes for int8 + headroom for x/scales/acc)
+        bn_cap = max(512, (6 * 1024 * 1024 // bk) // 128 * 128)
+        bn = _pick_tile(N, 128, 512, min(2048, bn_cap)) or 512
         y = _w8a8_matmul_pallas(qx, x_scale, qw, w_scale,
                                 out_dtype=jnp.dtype(x.dtype),
-                                bm=32, bn=1024, bk=min(K, 4096))[:orig_m]
+                                bm=32, bn=bn, bk=bk)[:orig_m]
+    elif _on_tpu():
+        # large M: XLA's native int8 dot runs at MXU peak (trace-verified
+        # ~388 TOPS on the gate_up shape); quantize in one Pallas pass
+        qx, x_scale = quantize_rows(x2)
+        y = w8a8_matmul_prequant(qx, x_scale, qw, w_scale,
+                                 out_dtype=jnp.dtype(x.dtype))
     else:
-        # large M: XLA's native int8 dot reaches ~165-175 TOPS on v5e —
-        # at parity with the best measured Pallas tiling and simpler
         y = w8a8_matmul_ref(x2, qw, w_scale)
     return y.reshape(*shape[:-1], qw.shape[1])
 

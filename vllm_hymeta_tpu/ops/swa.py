@@ -38,7 +38,10 @@ def _round_up(x: int, m: int) -> int:
 def _flash_kernel(qpos_ref, kpos_ref, q_ref, k_ref, v_ref,
                   o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
                   mask_mode: str, window_keys: int, scale: float,
-                  nkb: int):
+                  nkb: int, rep: int):
+    """Block shapes: q/o [1, rep, Bq, D] (one KV-head group, all `rep`
+    query heads — GQA folded into the tile so each K/V block is fetched
+    once per group, not once per query head), k/v [1, Bk, D]."""
     j = pl.program_id(2)
 
     @pl.when(j == 0)
@@ -47,30 +50,37 @@ def _flash_kernel(qpos_ref, kpos_ref, q_ref, k_ref, v_ref,
         l_ref[:] = jnp.zeros_like(l_ref)
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    q = q_ref[0]                      # [B, D]
-    k = k_ref[0]                      # [B, D]
+    Bq = q_ref.shape[2]
+    D = q_ref.shape[3]
+    # scale folded into q: touches rep*Bq*D elements once instead of
+    # rep*Bq*Bk scores every step
+    q = (q_ref[0].reshape(rep * Bq, D) * jnp.bfloat16(scale))
+    k = k_ref[0]                           # [Bk, D]
     v = v_ref[0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32) * scale  # [B, B]
+        preferred_element_type=jnp.float32)  # [rep*Bq, Bk]
 
-    qp = qpos_ref[0]                  # [B] int32
-    kp = kpos_ref[0]                  # [B]
+    qp = qpos_ref[0]                       # [Bq] int32
+    kp = kpos_ref[0]                       # [Bk]
+    Bk = kp.shape[0]
     valid = (kp >= 0)[None, :]
     if mask_mode == "all":
-        mask = jnp.broadcast_to(valid, s.shape)
+        mask = jnp.broadcast_to(valid, (Bq, Bk))
     else:
         d = qp[:, None] - kp[None, :]
         mask = (d >= 0) & valid
         if mask_mode == "window":
             mask = mask & (d < window_keys)
-    s = jnp.where(mask, s, NEG_INF)
+    # broadcast over the folded head dim without materializing a tile
+    s = jnp.where(mask[None], s.reshape(rep, Bq, Bk),
+                  NEG_INF).reshape(rep * Bq, Bk)
 
-    m_prev = m_ref[:]                 # [B, 1]
+    m_prev = m_ref[:]                      # [rep*Bq, 1]
     m_cur = jnp.max(s, axis=1, keepdims=True)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)            # [B, B]
+    p = jnp.exp(s - m_new)                 # [rep*Bq, Bk]
     l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
     acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
         p.astype(v.dtype), v, preferred_element_type=jnp.float32)
@@ -79,8 +89,9 @@ def _flash_kernel(qpos_ref, kpos_ref, q_ref, k_ref, v_ref,
     @pl.when(j == nkb - 1)
     def _():
         l = jnp.maximum(l_ref[:], 1e-37)
-        o_ref[0] = (acc_ref[:] / l).astype(o_ref.dtype)
-        lse_ref[0] = (m_ref[:] + jnp.log(l))[:, 0][None, :]
+        o_ref[0] = (acc_ref[:] / l).reshape(
+            rep, Bq, D).astype(o_ref.dtype)
+        lse_ref[0] = (m_ref[:] + jnp.log(l)).reshape(rep, 1, Bq)
 
 
 @functools.partial(
@@ -93,67 +104,73 @@ def _flash_call(q, k, v, q_pos, k_pos, mask_mode, window_keys, scale,
 
     Windowed contract: key index (off_blocks*blk + r) holds the same
     timeline position as query row r (both may be masked/invalid).
+    Grid is (Hkv, Tq/bq, nkb) with the GQA group folded into the q tile;
+    q blocks (bq = 2*blk) are larger than kv blocks (blk) — grid-step
+    latency, not DMA, is this kernel's bound, so fewer/fatter steps win.
     """
     Hq, Tq, D = q.shape
     Hkv, Tk, _ = k.shape
     rep = Hq // Hkv
-    nq = Tq // blk
+    bq = 2 * blk if Tq % (2 * blk) == 0 else blk
+    rq = bq // blk
+    nq = Tq // bq
+    qg = q.reshape(Hkv, rep, Tq, D)
     if mask_mode == "window":
-        nkb = wb_blocks + 1
+        nkb = wb_blocks + rq
 
-        def k_index(h, i, j):
-            return (h // rep, i + off_blocks - wb_blocks + j, 0)
+        def k_index(g, i, j):
+            return (g, i * rq + off_blocks - wb_blocks + j, 0)
 
-        def kp_index(h, i, j):
-            return (0, i + off_blocks - wb_blocks + j)
+        def kp_index(g, i, j):
+            return (0, i * rq + off_blocks - wb_blocks + j)
     else:
         nkb = Tk // blk
 
-        def k_index(h, i, j):
-            return (h // rep, j, 0)
+        def k_index(g, i, j):
+            return (g, j, 0)
 
-        def kp_index(h, i, j):
+        def kp_index(g, i, j):
             return (0, j)
 
     kernel = functools.partial(
         _flash_kernel, mask_mode=mask_mode, window_keys=window_keys,
-        scale=scale, nkb=nkb)
+        scale=scale, nkb=nkb, rep=rep)
     kv_bytes = (min(nkb * blk, Tk)) * D * 2
     out, lse = pl.pallas_call(
         kernel,
-        grid=(Hq, nq, nkb),
+        grid=(Hkv, nq, nkb),
         in_specs=[
-            pl.BlockSpec((1, blk), lambda h, i, j: (0, i),
+            pl.BlockSpec((1, bq), lambda g, i, j: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk), kp_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, blk, D), lambda h, i, j: (h, i, 0),
+            pl.BlockSpec((1, rep, bq, D), lambda g, i, j: (g, 0, i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, D), k_index, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, blk, D), k_index, memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, blk, D), lambda h, i, j: (h, i, 0),
+            pl.BlockSpec((1, rep, bq, D), lambda g, i, j: (g, 0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, blk), lambda h, i, j: (h, 0, i),
+            pl.BlockSpec((1, rep, 1, bq), lambda g, i, j: (g, 0, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((Hq, Tq, D), q.dtype),
-            jax.ShapeDtypeStruct((Hq, 1, Tq), jnp.float32),
+            jax.ShapeDtypeStruct((Hkv, rep, Tq, D), q.dtype),
+            jax.ShapeDtypeStruct((Hkv, rep, 1, Tq), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((blk, 1), jnp.float32),
-            pltpu.VMEM((blk, 1), jnp.float32),
-            pltpu.VMEM((blk, D), jnp.float32),
+            pltpu.VMEM((rep * bq, 1), jnp.float32),
+            pltpu.VMEM((rep * bq, 1), jnp.float32),
+            pltpu.VMEM((rep * bq, D), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * Hq * Tq * nkb * blk * D,
-            bytes_accessed=Hq * Tq * D * 4 + Hq * nq * kv_bytes,
+            bytes_accessed=Hq * Tq * D * 4 + Hkv * nq * kv_bytes,
             transcendentals=2 * Hq * Tq * nkb * blk),
-    )(q_pos, k_pos, q, k, v)
-    return out, lse[:, 0, :]
+    )(q_pos, k_pos, qg, k, v)
+    return out.reshape(Hq, Tq, D), lse.reshape(Hq, Tq)
 
 
 def flash_window_prefill(
