@@ -143,3 +143,89 @@ def test_fused_decode_attention_matches_ref():
     out = fused_decode_attention_pallas(q, rk, rv, positions, W)
     ref, _ = swa.swa_decode(q, rk, rv, positions, W)
     assert _rms(out, ref.astype(out.dtype)) < 2e-2
+
+
+# ---------------------------------------------------------------------------
+# on-chip model consistency: serving path (real kernels) vs golden forward
+# ---------------------------------------------------------------------------
+
+def _logits_close(a, b, tol=3e-2):
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    denom = np.sqrt(np.mean(b ** 2)) + 1e-9
+    return np.sqrt(np.mean((a - b) ** 2)) / denom < tol
+
+
+def test_glaswa_serving_matches_full_on_tpu():
+    """Native-width (D=128) GLAswa: prefill+decode with the Pallas kernels
+    must track the golden full forward — the on-hardware analogue of
+    tests/test_models.py (which runs on CPU reference ops)."""
+    from vllm_hymeta_tpu import cache as cache_lib
+    from vllm_hymeta_tpu.config import GLAswaConfig
+    from vllm_hymeta_tpu.models import gla_swa
+    cfg = GLAswaConfig(vocab_size=1024, hidden_size=512,
+                       num_hidden_layers=4, num_attention_heads=4,
+                       num_key_value_heads=2, intermediate_size=1024,
+                       sliding_window=1023, max_position_embeddings=4096)
+    assert cfg.head_dim == 128
+    params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                 dtype=jnp.bfloat16)
+    T, G = 700, 4
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (T + G,), 0,
+                                cfg.vocab_size)
+    full = gla_swa.forward_full(cfg, params, tokens[None])[0]
+
+    cc = cache_lib.CacheConfig(max_num_seqs=2, max_model_len=2048)
+    cache = gla_swa.init_cache(cfg, cc)
+    pad = 768
+    toks = jnp.zeros((pad,), jnp.int32).at[:T].set(tokens[:T])
+    logits, cache = gla_swa.prefill(cfg, params, cache, toks,
+                                    jnp.int32(0), jnp.int32(0),
+                                    jnp.int32(T))
+    assert _logits_close(logits, full[T - 1])
+    for t in range(G):
+        tok = jnp.array([tokens[T + t], 0], jnp.int32)
+        pos = jnp.array([T + t, 0], jnp.int32)
+        act = jnp.array([True, False])
+        dl, cache = gla_swa.decode(cfg, params, cache, tok, pos, act)
+        assert _logits_close(dl[0], full[T + t]), t
+
+
+def test_hymeta_serving_matches_full_on_tpu():
+    """Native-width Hymeta (metatokens + MoE + hybrid branches) on chip."""
+    from vllm_hymeta_tpu import cache as cache_lib
+    from vllm_hymeta_tpu.config import HymetaConfig
+    from vllm_hymeta_tpu.models import hymeta
+    cfg = HymetaConfig(vocab_size=1024, hidden_size=512,
+                       num_hidden_layers=4, num_attention_heads=4,
+                       num_key_value_heads=2, intermediate_size=1024,
+                       sliding_window=1023, max_position_embeddings=4096,
+                       num_meta_tokens=128, num_local_experts=4,
+                       shared_intermediate_size=512,
+                       full_attn_layers=[2], dense_mlp_layers=[0])
+    assert cfg.head_dim == 128
+    params = hymeta.init_params(cfg, jax.random.PRNGKey(0),
+                                dtype=jnp.bfloat16)
+    meta = hymeta.precompute_meta(cfg, params)
+    T, G = 500, 3
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (T + G,), 0,
+                                cfg.vocab_size)
+    full = hymeta.forward_full(cfg, params, tokens[None])[0]
+
+    cc = cache_lib.CacheConfig(max_num_seqs=2, max_model_len=2048)
+    cache = hymeta.init_cache(cfg, cc)
+    for i, lc in enumerate(cache["layers"]):
+        cache["layers"][i]["state"] = lc["state"].at[:].set(
+            meta["state"][i].astype(lc["state"].dtype))
+    pad = 512
+    toks = jnp.zeros((pad,), jnp.int32).at[:T].set(tokens[:T])
+    logits, cache = hymeta.prefill(cfg, params, meta, cache, toks,
+                                   jnp.int32(0), jnp.int32(0),
+                                   jnp.int32(T))
+    assert _logits_close(logits, full[T - 1])
+    for t in range(G):
+        tok = jnp.array([tokens[T + t], 0], jnp.int32)
+        pos = jnp.array([T + t, 0], jnp.int32)
+        act = jnp.array([True, False])
+        dl, cache = hymeta.decode(cfg, params, meta, cache, tok, pos, act)
+        assert _logits_close(dl[0], full[T + t]), t

@@ -122,10 +122,11 @@ def _gla_qkvg(cfg: GLAswaConfig, ap: dict, x: jax.Array, pctx=NULL_CTX):
 
 def _gla_out(cfg: GLAswaConfig, ap: dict, o: jax.Array,
              pctx=NULL_CTX) -> jax.Array:
-    """Per-head g_norm then output projection (row-parallel -> psum)
+    """Per-head g_norm then output projection (row-parallel -> psum, or
+    reduce-scatter under sequence parallelism)
     (`hf_7B_model/gla_attention.py:170-171`). o: [..., T, H, D]."""
     o = naive.rms_norm(o, ap["g_norm"]["w"], cfg.norm_eps)
-    return pctx.psum(linear(ap["o_proj"], common.merge_heads(o)))
+    return pctx.sp_reduce(linear(ap["o_proj"], common.merge_heads(o)))
 
 
 def _swa_rope(cfg: GLAswaConfig, q, k, positions):
@@ -136,6 +137,42 @@ def _swa_rope(cfg: GLAswaConfig, q, k, positions):
 # ---------------------------------------------------------------------------
 # full forward (golden path, no cache)
 # ---------------------------------------------------------------------------
+
+def layer_forward(cfg: GLAswaConfig, lp: dict, x: jax.Array,
+                  positions: jax.Array, is_swa: bool,
+                  pctx=NULL_CTX) -> jax.Array:
+    """One decoder layer over full sequences (no cache) — shared by the
+    golden forward and the pipeline-parallel stage function.
+
+    Under sequence parallelism (pctx.sp) `x` enters and leaves sharded
+    along the token dim over the model axis; norms run on the local shard,
+    the attention/MLP blocks all-gather tokens on entry and
+    reduce-scatter on exit (`positions` stays full-length)."""
+    res = x
+    y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+    y = pctx.sp_gather(y)
+    ap = lp["attn"]
+    if is_swa:
+        H, Hkv = common.local_heads(cfg, pctx)
+        D = cfg.head_dim
+        q, k, v = common.project_qkv(ap, y, H, Hkv, D)
+        q, k = _swa_rope(cfg, q, k, positions)
+        out, _ = naive.swa_attention(
+            q, k, v, positions[0], positions[0], cfg.sliding_window,
+            cfg.inclusive_window)
+        att = pctx.sp_reduce(linear(
+            ap["o_proj"], common.merge_heads(out.astype(y.dtype))))
+    else:
+        q, k, v, g = _gla_qkvg(cfg, ap, y, pctx)
+        o, _ = gla_chunk.gla_chunked(
+            q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+            v.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))
+        att = _gla_out(cfg, ap, o.transpose(0, 2, 1, 3), pctx)
+    y, res2 = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                      cfg.norm_eps)
+    y = pctx.sp_gather(y)
+    return res2 + pctx.sp_reduce(glu_mlp(lp["mlp"], y))
+
 
 def forward_full(cfg: GLAswaConfig, params: dict, tokens: jax.Array,
                  positions: Optional[jax.Array] = None,
@@ -150,32 +187,10 @@ def forward_full(cfg: GLAswaConfig, params: dict, tokens: jax.Array,
         positions = jnp.arange(T, dtype=jnp.int32)[None].repeat(B, 0)
     x = common.embed_vp(params["embed"], tokens, pctx)
 
-    def layer_body(i: int, lp: dict, x: jax.Array) -> jax.Array:
-        res = x
-        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
-        ap = lp["attn"]
-        if cfg.is_swa_layer(i):
-            H, Hkv = common.local_heads(cfg, pctx)
-            D = cfg.head_dim
-            q, k, v = common.project_qkv(ap, y, H, Hkv, D)
-            q, k = _swa_rope(cfg, q, k, positions)
-            out, _ = naive.swa_attention(
-                q, k, v, positions[0], positions[0], cfg.sliding_window,
-                cfg.inclusive_window)
-            att = pctx.psum(linear(
-                ap["o_proj"], common.merge_heads(out.astype(y.dtype))))
-        else:
-            q, k, v, g = _gla_qkvg(cfg, ap, y, pctx)
-            o, _ = gla_chunk.gla_chunked(
-                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))
-            att = _gla_out(cfg, ap, o.transpose(0, 2, 1, 3), pctx)
-        y, res2 = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
-                                          cfg.norm_eps)
-        return res2 + pctx.psum(glu_mlp(lp["mlp"], y))
-
     for i, lp in enumerate(params["layers"]):
-        fn = functools.partial(layer_body, i)
+        fn = functools.partial(layer_forward, cfg,
+                               positions=positions,
+                               is_swa=cfg.is_swa_layer(i), pctx=pctx)
         if remat:
             fn = jax.checkpoint(fn)
         x = fn(lp, x)

@@ -22,6 +22,21 @@ def make_mesh(tp: Optional[int] = None, dp: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def make_train_mesh(pp: int = 1, tp: Optional[int] = None, dp: int = 1,
+                    devices: Optional[Sequence] = None) -> Mesh:
+    """(data, pipe, model) mesh for pipelined training
+    (parallel/pipeline.py). The pipe axis is placed between data and
+    model so TP stays on the innermost (fastest ICI) dimension."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = len(devices)
+    if tp is None:
+        tp = n // (dp * pp)
+    assert dp * pp * tp == n, \
+        f"dp({dp}) * pp({pp}) * tp({tp}) != devices({n})"
+    arr = np.asarray(devices).reshape(dp, pp, tp)
+    return Mesh(arr, ("data", "pipe", "model"))
+
+
 def init_distributed(coordinator: Optional[str] = None,
                      num_processes: Optional[int] = None,
                      process_id: Optional[int] = None):

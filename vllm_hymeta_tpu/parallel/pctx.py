@@ -18,6 +18,12 @@ import jax.numpy as jnp
 class ParallelCtx:
     model_axis: Optional[str] = None   # TP/EP axis
     data_axis: Optional[str] = None    # DP axis (decode slot batch)
+    # Megatron-style sequence parallelism: activations between blocks are
+    # sharded along the TOKEN dim over the model axis; norms/elementwise
+    # run on the local shard (no collective — they are per-token), blocks
+    # all-gather tokens on entry and reduce-scatter on exit, replacing the
+    # TP psum with an equal-volume pair and cutting activation memory /tp.
+    sp: bool = False
 
     # ----- model (TP) axis -----
     @property
@@ -39,6 +45,22 @@ class ParallelCtx:
             return x
         return jax.lax.all_gather(x, self.model_axis, axis=axis,
                                   tiled=True)
+
+    def sp_gather(self, x, axis: int = -2):
+        """SP block entry: all-gather the token dim (identity without SP)."""
+        if not (self.sp and self.model_axis):
+            return x
+        return jax.lax.all_gather(x, self.model_axis, axis=axis, tiled=True)
+
+    def sp_reduce(self, x, axis: int = -2):
+        """SP block exit: reduce-scatter the row-parallel partial over the
+        token dim; plain psum when SP is off."""
+        if not self.model_axis:
+            return x
+        if not self.sp:
+            return jax.lax.psum(x, self.model_axis)
+        return jax.lax.psum_scatter(x, self.model_axis, scatter_dimension=
+                                    axis % x.ndim, tiled=True)
 
     # ----- data (DP) axis -----
     @property
