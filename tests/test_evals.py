@@ -49,3 +49,37 @@ class TestEvals:
                   "answer": 0}]
         res = mc_accuracy(cfg, params, items)
         assert res["accuracy"] == 1.0
+
+    def test_gen_accuracy_matching_modes(self):
+        """Engine-driven generative eval: scoring modes + continuous
+        batching across items."""
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.evals import gen_accuracy
+        from vllm_hymeta_tpu.evals.gen import extract_final_number
+
+        assert extract_final_number("so the answer is 1,234.5") == "1234.5"
+        assert extract_final_number("no digits") is None
+
+        class ByteTok:
+            def encode(self, s):
+                return [ord(c) % 256 for c in s]
+
+            def decode(self, ids):
+                return "".join(chr(i % 128) for i in ids)
+
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(3),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, EngineConfig(
+            max_num_seqs=2, max_model_len=128,
+            prefill_chunk=32, prefill_buckets=(32,), decode_block=4))
+        tok = ByteTok()
+        items = [
+            {"prompt": [1, 2, 3], "answer": "zzz-will-not-match"},
+            {"prompt": [4, 5, 6], "answer": ""},   # empty: contains-match
+        ]
+        res = gen_accuracy(eng, items, tok, max_tokens=8,
+                           match="contains")
+        assert res["n"] == 2
+        assert res["correct"] == 1  # only the empty-string item matches
+        assert len(res["predictions"]) == 2

@@ -13,11 +13,10 @@ import json
 import time
 
 
-def _load(args):
+def _load_params(args):
     import jax
     import jax.numpy as jnp
     from vllm_hymeta_tpu.config import load_config
-    from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
     from vllm_hymeta_tpu import weights as weights_lib
     from vllm_hymeta_tpu.models import get_model
 
@@ -34,6 +33,13 @@ def _load(args):
     elif args.quantization == "gptq4":
         from vllm_hymeta_tpu.quant import quantize_params_gptq
         params = quantize_params_gptq(params)
+    return cfg, params
+
+
+def _load(args):
+    from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+
+    cfg, params = _load_params(args)
     ecfg = EngineConfig(max_num_seqs=args.max_num_seqs,
                         max_model_len=args.max_model_len,
                         kv_dtype=args.kv_cache_dtype)
@@ -80,6 +86,18 @@ def main(argv=None):
     pt.add_argument("--num-prompts", type=int, default=64)
     pt.add_argument("--input-len", type=int, default=1024)
     pt.add_argument("--output-len", type=int, default=128)
+
+    pe = sub.add_parser("eval",
+                        help="accuracy evals (in-tree opencompass "
+                             "replacement: ppl | mc | gen over jsonl)")
+    common(pe)
+    pe.add_argument("--task", required=True, choices=["ppl", "mc", "gen"])
+    pe.add_argument("--data", required=True,
+                    help="jsonl items (mc/gen) or token-id json list (ppl)")
+    pe.add_argument("--max-tokens", type=int, default=256)
+    pe.add_argument("--match", default="contains",
+                    choices=["exact", "contains", "number"])
+    pe.add_argument("--length-normalize", action="store_true")
 
     args = p.parse_args(argv)
 
@@ -133,6 +151,33 @@ def main(argv=None):
             "output_tokens_per_s": round(
                 args.num_prompts * args.output_len / dt, 1),
             "metrics": metrics.to_dict()}))
+    elif args.cmd == "eval":
+        from vllm_hymeta_tpu import evals
+        from vllm_hymeta_tpu.engine.api import _try_load_tokenizer
+        from vllm_hymeta_tpu.evals.tasks import load_jsonl
+        tok = _try_load_tokenizer(args.model)
+        if args.task == "ppl":
+            cfg, params = _load_params(args)
+            with open(args.data) as f:
+                tokens = json.load(f)
+            ppl = evals.perplexity(cfg, params, tokens)
+            print(json.dumps({"task": "ppl", "perplexity": ppl,
+                              "n_tokens": len(tokens)}))
+        elif args.task == "mc":
+            cfg, params = _load_params(args)
+            items = load_jsonl(args.data)
+            res = evals.mc_accuracy(
+                cfg, params, items, tokenizer=tok,
+                length_normalize=args.length_normalize)
+            print(json.dumps({"task": "mc", **res}))
+        else:
+            cfg, eng = _load(args)
+            items = load_jsonl(args.data)
+            res = evals.gen_accuracy(eng, items, tok,
+                                     max_tokens=args.max_tokens,
+                                     match=args.match)
+            res.pop("predictions")
+            print(json.dumps({"task": "gen", **res}))
 
 
 if __name__ == "__main__":
