@@ -57,7 +57,9 @@ def build_params(cfg, scheme: str):
         if scheme == "w8a8":
             params = quantize_params_w8a8(params)
         elif scheme == "gptq4":
+            from vllm_hymeta_tpu.quant import attach_prefill_int8
             params = quantize_params_gptq(params, bits=4, group_size=64)
+            params = attach_prefill_int8(params)
         try:
             save_quantized(params, cache_dir)
         except Exception:

@@ -135,7 +135,9 @@ class TestDistributedEngine:
         cfg = tiny_glaswa(hidden_size=128, intermediate_size=256)
         params = gla_swa.init_params(cfg, jax.random.PRNGKey(2),
                                      dtype=jnp.float32)
-        qparams = quantize_params_gptq(params, bits=4, group_size=32)
+        from vllm_hymeta_tpu.quant import attach_prefill_int8
+        qparams = attach_prefill_int8(
+            quantize_params_gptq(params, bits=4, group_size=32))
         ecfg = EngineConfig(max_num_seqs=2, max_model_len=128,
                             prefill_chunk=16, prefill_buckets=(16,),
                             decode_block=4)

@@ -69,6 +69,34 @@ class TestTransforms:
                                    atol=1e-4, rtol=1e-4)
         assert np.abs(np.asarray(y - x @ p["w"])).max() < 0.5
 
+    def test_dual_precision_shadow(self):
+        """attach_prefill_int8: the INT8 shadow reproduces the dequantized
+        int4 grid, and linear() routes by batch size (decode -> int4,
+        prefill -> int8 shadow)."""
+        from vllm_hymeta_tpu.quant import attach_prefill_int8
+        key = jax.random.PRNGKey(0)
+        p = {"w": jax.random.normal(key, (128, 32)) * 0.1}
+        q = quantize_params_gptq({"a": {"up_proj": p}}, bits=4,
+                                 group_size=64)
+        q = attach_prefill_int8(q)
+        qp = q["a"]["up_proj"]
+        assert qp["qw8"].shape == (128, 32)
+        w_deq = quant_matmul.dequant_groupwise(
+            quant_matmul.unpack_int4(qp["qw4"]),
+            qp["scales"], qp["zeros"], dtype=jnp.float32)
+        w_shadow = qp["qw8"].astype(jnp.float32) * qp["w8_scale"]
+        # requantization error <= half an int8 step of the channel max
+        assert np.abs(np.asarray(w_deq - w_shadow)).max() <= \
+            float(jnp.max(qp["w8_scale"])) * 0.51
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 128),
+                              jnp.bfloat16)
+        xl = jnp.tile(x, (32, 1))          # 128 rows -> prefill path
+        y_dec = linear(qp, x)
+        y_pre = linear(qp, xl)[:4]
+        np.testing.assert_allclose(np.asarray(y_dec, np.float32),
+                                   np.asarray(y_pre, np.float32),
+                                   atol=0.05, rtol=0.05)
+
     def test_int4_pack_roundtrip(self):
         key = jax.random.PRNGKey(7)
         qw = jax.random.randint(key, (32, 16), -8, 8, jnp.int8)

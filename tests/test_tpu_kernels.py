@@ -126,6 +126,26 @@ def test_flash_window_prefill_matches_ref():
     assert _rms(out, ref) < 2e-2
     assert _rms(lse, lref) < 2e-2
 
+    # causal (global-layer) mode
+    out, lse = swa.flash_window_prefill(q, k, v, q_pos, k_pos, 0,
+                                        ctx_len=ctx, mask_mode="causal")
+    ref, lref = swa.flash_window_prefill_ref(q, k, v, q_pos, k_pos, 0,
+                                             ctx, mask_mode="causal")
+    assert _rms(out, ref) < 2e-2
+    assert _rms(lse, lref) < 2e-2
+
+    # first-chunk shape: invalid (unwritten) context + padded chunk tail
+    n_valid = 300
+    q_pos2 = jnp.where(jnp.arange(Tq) < n_valid,
+                       jnp.arange(Tq, dtype=jnp.int32), swa.INVALID_POS)
+    k_pos2 = jnp.concatenate(
+        [jnp.full((ctx,), swa.INVALID_POS, jnp.int32), q_pos2])
+    out, lse = swa.flash_window_prefill(q, k, v, q_pos2, k_pos2, W,
+                                        ctx_len=ctx)
+    ref, lref = swa.flash_window_prefill_ref(q, k, v, q_pos2, k_pos2, W, ctx)
+    assert _rms(out[:n_valid], ref[:n_valid]) < 2e-2
+    assert _rms(lse[:, :n_valid], lref[:, :n_valid]) < 2e-2
+
 
 def test_fused_decode_attention_matches_ref():
     from vllm_hymeta_tpu.ops import swa

@@ -1,0 +1,106 @@
+"""Sonnet-style engine throughput benchmark.
+
+Mirrors the reference's `vllm bench throughput --dataset-name sonnet`
+recipe (`/root/reference/readme.md:160-173`): many short poetry-length
+prompts (~550 input tokens), 150 generated tokens each, continuous
+batching at high max_num_seqs, reporting requests/s and total tokens/s.
+
+The reference ran 10k prompts on 4 GPUs (TP4+EP); here the default is a
+single-chip run scaled to NUM_PROMPTS=64 — the metric (tokens/s/chip)
+is comparable across scales because the engine reaches steady state
+within a few batches.
+
+Usage: python tools/throughput_bench.py
+Env:   NUM_PROMPTS (64), INPUT_LEN (550), OUTPUT_LEN (150),
+       MAX_NUM_SEQS (16), BENCH_SCHEME (w8a8|gptq4|bf16),
+       BENCH_SMALL=1 (reduced-width smoke config), TP (mesh model axis)
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(os.path.dirname(os.path.dirname(
+                          os.path.abspath(__file__))), ".jax_cache"))
+
+import jax  # noqa: E402
+import numpy as np  # noqa: E402
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from bench import build_params  # noqa: E402
+from vllm_hymeta_tpu.config import GLAswaConfig  # noqa: E402
+from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig  # noqa: E402
+from vllm_hymeta_tpu.engine.metrics import EngineMetrics  # noqa: E402
+from vllm_hymeta_tpu.engine.sampler import SamplingParams  # noqa: E402
+
+
+def main():
+    num_prompts = int(os.environ.get("NUM_PROMPTS", 64))
+    input_len = int(os.environ.get("INPUT_LEN", 550))
+    output_len = int(os.environ.get("OUTPUT_LEN", 150))
+    max_num_seqs = int(os.environ.get("MAX_NUM_SEQS", 16))
+    scheme = os.environ.get("BENCH_SCHEME", "w8a8")
+    small = os.environ.get("BENCH_SMALL") == "1"
+
+    if small:
+        cfg = GLAswaConfig(vocab_size=4096, hidden_size=512,
+                           num_hidden_layers=4, num_attention_heads=8,
+                           num_key_value_heads=4, intermediate_size=1024,
+                           sliding_window=1024)
+    else:
+        cfg = GLAswaConfig()
+
+    params = build_params(cfg, scheme)
+    bucket = 1 << (input_len - 1).bit_length()
+    ecfg = EngineConfig(max_num_seqs=max_num_seqs,
+                        max_model_len=input_len + output_len + 64,
+                        prefill_chunk=bucket,
+                        prefill_buckets=(bucket,),
+                        kv_dtype="bfloat16",
+                        decode_block=16)
+    mesh = None
+    tp = int(os.environ.get("TP", 1))
+    if tp > 1:
+        from vllm_hymeta_tpu.parallel import make_mesh
+        mesh = make_mesh(tp=tp)
+    eng = Engine(cfg, params, ecfg, mesh=mesh)
+
+    rs = np.random.RandomState(0)
+    # sonnet-style prompts: same ~length, slight jitter like sampled lines
+    lens = rs.randint(max(2, input_len - 64), input_len + 64,
+                      size=num_prompts)
+    prompts = [list(rs.randint(0, cfg.vocab_size, size=n)) for n in lens]
+    sp = SamplingParams(temperature=0.0, max_tokens=output_len,
+                        ignore_eos=True)
+
+    # warmup: compile prefill bucket + decode block on a small batch
+    eng.generate(prompts[: min(4, num_prompts)], sp)
+
+    metrics = EngineMetrics(eng)
+    t0 = time.perf_counter()
+    done = eng.generate(prompts, sp)
+    elapsed = time.perf_counter() - t0
+
+    n_in = sum(len(p) for p in prompts)
+    n_out = sum(len(r.output) for r in done)
+    result = {
+        "metric": f"7B_{scheme}_sonnet_throughput",
+        "value": round((n_in + n_out) / elapsed, 1),
+        "unit": "total_tokens/s",
+        "requests_per_s": round(num_prompts / elapsed, 3),
+        "gen_tokens_per_s": round(n_out / elapsed, 1),
+        "num_prompts": num_prompts,
+        "input_len": input_len,
+        "output_len": output_len,
+        "max_num_seqs": max_num_seqs,
+        "elapsed_s": round(elapsed, 2),
+        "engine": metrics.snap.to_dict(),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -113,12 +113,14 @@ def main():
         next(iter(eng.cache["layers"][0]))])[:1]
     jax.profiler.stop_trace()
 
-    # drain decode of that request with tracing on the 2nd block
-    eng.step()
+    # decode: dispatch + harvest one full block INSIDE the trace window
+    # (a block dispatched before start_trace executes immediately on the
+    # idle device, so its events would land outside the capture)
+    eng.step()   # dispatch block 1
+    eng.step()   # harvest block 1 -> device idle
     jax.profiler.start_trace(os.path.join(out_dir, "decode"))
-    eng.step()
-    np.asarray(eng.cache["layers"][0][
-        next(iter(eng.cache["layers"][0]))])[:1]
+    eng.step()   # dispatch block 2
+    eng.step()   # harvest block 2 (blocks on its device-side tokens)
     jax.profiler.stop_trace()
     while eng.has_work():
         eng.step()

@@ -63,6 +63,9 @@ def _concat_linears(ps, tp: int = 1) -> dict:
         fused["qw4"] = cat([p["qw4"] for p in ps], 1)
         fused["scales"] = cat([p["scales"] for p in ps], 1)
         fused["zeros"] = cat([p["zeros"] for p in ps], 1)
+        if all("qw8" in p for p in ps):   # dual-precision prefill shadow
+            fused["qw8"] = cat([p["qw8"] for p in ps], 1)
+            fused["w8_scale"] = cat([p["w8_scale"] for p in ps], 0)
     else:  # int8 layouts: concat along N for qw/scales/zeros
         fused["qw"] = cat([p["qw"] for p in ps], 1)
         if "w_scale" in ps[0]:

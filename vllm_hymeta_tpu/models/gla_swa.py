@@ -242,7 +242,8 @@ def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
                 [ctx_pos, jnp.where(valid, positions, swa.INVALID_POS)])
             qp = jnp.where(valid, positions, swa.INVALID_POS)
             out, _ = swa.flash_window_prefill(
-                q, k_all, v_all, qp, kp_all, cfg.window_keys, ctx_len=R)
+                q, k_all, v_all, qp, kp_all, cfg.window_keys, ctx_len=R,
+                need_lse=False)
             att = pctx.psum(linear(ap["o_proj"], common.merge_heads(out)))
             lc = cache_lib.write_prefill_kv(lc, lslot, k, v, positions,
                                             valid, enable=owned)

@@ -23,7 +23,17 @@ from vllm_hymeta_tpu.ops import quant_matmul
 def linear(p: dict, x: jax.Array) -> jax.Array:
     """y = x @ w (+ b). Dispatches on the parameter layout."""
     if "qw4" in p:
-        y = quant_matmul.int4_matmul(x, p["qw4"], p["scales"], p["zeros"])
+        rows = 1
+        for d in x.shape[:-1]:
+            rows *= d
+        if "qw8" in p and rows > 64:
+            # dual-precision layout (quant/transform.attach_prefill_int8):
+            # compute-bound prefill takes the INT8 shadow on the MXU's
+            # int8 path; bandwidth-bound decode streams the INT4 packing
+            y = quant_matmul.w8a8_matmul(x, p["qw8"], p["w8_scale"])
+        else:
+            y = quant_matmul.int4_matmul(x, p["qw4"], p["scales"],
+                                         p["zeros"])
     elif "qw" in p:
         if "w_scale" in p:
             y = quant_matmul.w8a8_matmul(x, p["qw"], p["w_scale"])

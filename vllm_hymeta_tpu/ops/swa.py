@@ -26,6 +26,9 @@ import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.pallas.ops.tpu.splash_attention import (
+    splash_attention_kernel as _splash_kernel_lib,
+    splash_attention_mask as _splash_mask_lib)
 
 INVALID_POS = -(2 ** 30)
 NEG_INF = -1e30
@@ -173,6 +176,52 @@ def _flash_call(q, k, v, q_pos, k_pos, mask_mode, window_keys, scale,
     return out.reshape(Hq, Tq, D), lse.reshape(Hq, Tq)
 
 
+@functools.lru_cache(maxsize=128)
+def _make_splash(tq: int, tk_p: int, window_keys: int, off: int, rep: int,
+                 bq: int, bkv: int, need_lse: bool):
+    """Block-sparse splash-attention kernel (JAX library) for a prefill
+    chunk whose q row r sits at key index off + r.  window_keys == 0 means
+    causal-only (global layers).  The mask is static; key validity (unwritten
+    ring entries, padded chunk tail) rides in as dynamic kv segment ids."""
+    win = None if window_keys == 0 else window_keys - 1
+    mask = _splash_mask_lib.MultiHeadMask(
+        [_splash_mask_lib.LocalMask((tq, tk_p), window_size=(win, 0),
+                                    offset=off)
+         for _ in range(rep)])
+    return _splash_kernel_lib.make_splash_mqa_single_device(
+        mask,
+        block_sizes=_splash_kernel_lib.BlockSizes(
+            block_q=bq, block_kv=bkv, block_kv_compute=bkv),
+        save_residuals=need_lse)
+
+
+def _splash_prefill(q, k, v, k_pos, window_keys: int, ctx_len: int,
+                    scale: float, need_lse: bool):
+    """q [Tq, Hq, D], k/v [ctx_len+Tq, Hkv, D] -> (out [Tq, Hq, D],
+    lse [Hq, Tq] fp32 | None)."""
+    Tq, Hq, D = q.shape
+    Tk, Hkv, _ = k.shape
+    rep = Hq // Hkv
+    bq = min(512, Tq)
+    bkv = 512
+    tk_p = _round_up(Tk, bkv)
+    kern = _make_splash(Tq, tk_p, window_keys, ctx_len, rep, bq, bkv,
+                        need_lse)
+    qg = (jnp.swapaxes(q, 0, 1).reshape(Hkv, rep, Tq, D)
+          * jnp.bfloat16(scale))
+    kh = jnp.pad(jnp.swapaxes(k, 0, 1), ((0, 0), (0, tk_p - Tk), (0, 0)))
+    vh = jnp.pad(jnp.swapaxes(v, 0, 1), ((0, 0), (0, tk_p - Tk), (0, 0)))
+    kseg = jnp.pad((k_pos >= 0).astype(jnp.int32), (0, tk_p - Tk))
+    seg = _splash_kernel_lib.SegmentIds(
+        q=jnp.ones((Tq,), jnp.int32), kv=kseg)
+    res = jax.vmap(kern, in_axes=(0, 0, 0, None))(qg, kh, vh, seg)
+    if need_lse:
+        out, (lse,) = res
+        return (jnp.swapaxes(out.reshape(Hq, Tq, D), 0, 1),
+                lse.reshape(Hq, Tq).astype(jnp.float32))
+    return jnp.swapaxes(res.reshape(Hq, Tq, D), 0, 1), None
+
+
 def flash_window_prefill(
     q: jax.Array,       # [Tq, Hq, D] chunk queries
     k: jax.Array,       # [Tk, Hkv, D] keys: [ctx_len context ∥ Tq chunk]
@@ -184,6 +233,7 @@ def flash_window_prefill(
     scale: Optional[float] = None,
     mask_mode: Optional[str] = None,  # override: "window"|"causal"|"all"
     blk: int = 256,
+    need_lse: bool = True,
 ) -> Tuple[jax.Array, jax.Array]:
     """Returns (out [Tq, Hq, D] in q.dtype, lse [Hq, Tq] fp32).
 
@@ -203,6 +253,21 @@ def flash_window_prefill(
         # Pallas TPU kernels can't lower on CPU; use the jnp reference
         return flash_window_prefill_ref(q, k, v, q_pos, k_pos, window_keys,
                                         ctx_len, scale, mask_mode)
+
+    if (mask_mode in ("window", "causal") and D == 128
+            and Tq % 128 == 0 and Tq % min(512, Tq) == 0
+            and Tk == ctx_len + Tq):
+        # block-sparse splash path: the static mask skips out-of-window
+        # blocks AND the per-element mask work on interior blocks, which
+        # the hand-rolled kernel below pays on every step (trace: 2.3ms
+        # vs 5.9ms per 28-head 4k-chunk call on v5e)
+        out, lse = _splash_prefill(
+            q, k, v, k_pos,
+            window_keys if mask_mode == "window" else 0,
+            ctx_len, scale, need_lse)
+        if lse is None:
+            lse = jnp.zeros((Hq, Tq), jnp.float32)
+        return out, lse
 
     blk = min(blk, _round_up(max(Tq, 128), 128))
     tq_p = _round_up(Tq, blk)

@@ -40,18 +40,18 @@ def _linear_leaf_spec(kind: str, leaf: str, ndim: int):
     if kind == "repl":
         return REPL
     if kind == "col":
-        if leaf in ("w", "qw", "qw4", "scales", "zeros"):
+        if leaf in ("w", "qw", "qw4", "qw8", "scales", "zeros"):
             return P(None, "model")
-        if leaf in ("b", "w_scale"):
+        if leaf in ("b", "w_scale", "w8_scale"):
             return P("model")
     if kind == "row":
-        if leaf in ("w", "qw", "scales", "zeros"):
+        if leaf in ("w", "qw", "qw8", "scales", "zeros"):
             return P("model", None)
         if leaf == "qw4":
             # valid only after models.common.fuse_params repacked the
             # tensor per shard (repack_int4_rows)
             return P("model", None)
-        if leaf in ("b", "w_scale"):
+        if leaf in ("b", "w_scale", "w8_scale"):
             return REPL
     return REPL
 

@@ -9,4 +9,4 @@ Covers the reference's two schemes (SURVEY.md §2.6):
 """
 
 from vllm_hymeta_tpu.quant.transform import (  # noqa: F401
-    quantize_params_gptq, quantize_params_w8a8)
+    attach_prefill_int8, quantize_params_gptq, quantize_params_w8a8)

@@ -125,3 +125,33 @@ def quantize_params_gptq(params: dict, bits: int = 4, group_size: int = 64,
         parent["scales"] = scale
         parent["zeros"] = zero - (qmax + 1) // 2
     return out
+
+
+def attach_prefill_int8(params: dict) -> dict:
+    """Dual-precision serving layout: alongside each packed-INT4 tensor,
+    store an INT8 per-channel requantization of the SAME dequantized
+    values ("qw8" + "w8_scale").
+
+    Rationale (TPU roofline): decode is HBM-bandwidth bound, so it streams
+    the INT4 packing (half the bytes); prefill is MXU-compute bound, where
+    XLA's native int8 dot runs ~2x bf16 FLOPs — the int8 shadow feeds the
+    MXU directly instead of paying a dequant-to-bf16 matmul.  The shadow is
+    derived from the int4 grid, so prefill accuracy is >= the int4 path's
+    (requantization error is second-order).  models/layers.linear picks the
+    copy by batch size (<=64 rows => decode => INT4).
+    """
+    import copy
+    from vllm_hymeta_tpu.ops.quant_matmul import dequant_groupwise, unpack_int4
+    out = copy.deepcopy(jax.tree.map(lambda x: x, params))
+    for path, leaf in list(_walk(params)):
+        if path[-1] != "qw4":
+            continue
+        parent = _get(out, path[:-1])
+        w = dequant_groupwise(unpack_int4(parent["qw4"]),
+                              parent["scales"], parent["zeros"],
+                              dtype=jnp.float32)
+        scale = jnp.maximum(jnp.max(jnp.abs(w), axis=0), 1e-8) / 127.0
+        parent["qw8"] = jnp.clip(jnp.round(w / scale), -127,
+                                 127).astype(jnp.int8)
+        parent["w8_scale"] = scale
+    return out

@@ -31,8 +31,9 @@ def _load_params(args):
         from vllm_hymeta_tpu.quant import quantize_params_w8a8
         params = quantize_params_w8a8(params)
     elif args.quantization == "gptq4":
-        from vllm_hymeta_tpu.quant import quantize_params_gptq
-        params = quantize_params_gptq(params)
+        from vllm_hymeta_tpu.quant import (attach_prefill_int8,
+                                           quantize_params_gptq)
+        params = attach_prefill_int8(quantize_params_gptq(params))
     return cfg, params
 
 
