@@ -35,8 +35,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 BASELINE_MS = {32768: 2332.0, 65536: 4680.0, 131072: 10512.0}
 
 
-def build_params(cfg, scheme: str):
-    from vllm_hymeta_tpu.models import gla_swa
+def build_params(cfg, scheme: str, fuse: bool = True):
+    """Build (or load cached) quantized params.  Projection fusion runs on
+    the HOST so the device only ever holds the fused tree — fused+unfused
+    at once would double weight HBM (the engine's fuse_params is
+    idempotent and passes the pre-fused tree through)."""
+    from vllm_hymeta_tpu.models import common, gla_swa
     from vllm_hymeta_tpu.quant import (quantize_params_gptq,
                                        quantize_params_w8a8)
     from vllm_hymeta_tpu.quant.io import load_quantized, save_quantized
@@ -44,26 +48,25 @@ def build_params(cfg, scheme: str):
     cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              ".bench_cache",
                              f"{scheme}_{cfg.hidden_size}_{cfg.num_hidden_layers}")
-    if os.path.exists(os.path.join(cache_dir, "quantized.safetensors")):
-        cpu = jax.devices("cpu")[0]
-        with jax.default_device(cpu):
-            params = load_quantized(cache_dir)
-        return jax.device_put(params, jax.devices()[0])
-
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
-                                     dtype=jnp.bfloat16)
-        if scheme == "w8a8":
-            params = quantize_params_w8a8(params)
-        elif scheme == "gptq4":
-            from vllm_hymeta_tpu.quant import attach_prefill_int8
-            params = quantize_params_gptq(params, bits=4, group_size=64)
-            params = attach_prefill_int8(params)
-        try:
-            save_quantized(params, cache_dir)
-        except Exception:
-            pass
+        if os.path.exists(os.path.join(cache_dir, "quantized.safetensors")):
+            params = load_quantized(cache_dir)
+        else:
+            params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                         dtype=jnp.bfloat16)
+            if scheme == "w8a8":
+                params = quantize_params_w8a8(params)
+            elif scheme == "gptq4":
+                from vllm_hymeta_tpu.quant import attach_prefill_int8
+                params = quantize_params_gptq(params, bits=4, group_size=64)
+                params = attach_prefill_int8(params)
+            try:
+                save_quantized(params, cache_dir)
+            except Exception:
+                pass
+        if fuse:
+            params = common.fuse_params(cfg, params, tp=1)
     return jax.device_put(params, jax.devices()[0])
 
 

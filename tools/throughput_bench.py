@@ -53,7 +53,9 @@ def main():
     else:
         cfg = GLAswaConfig()
 
-    params = build_params(cfg, scheme)
+    tp = int(os.environ.get("TP", 1))
+    # pre-fusion on the host only matches the engine's layout at tp=1
+    params = build_params(cfg, scheme, fuse=(tp == 1))
     bucket = 1 << (input_len - 1).bit_length()
     ecfg = EngineConfig(max_num_seqs=max_num_seqs,
                         max_model_len=input_len + output_len + 64,
@@ -62,7 +64,6 @@ def main():
                         kv_dtype="bfloat16",
                         decode_block=16)
     mesh = None
-    tp = int(os.environ.get("TP", 1))
     if tp > 1:
         from vllm_hymeta_tpu.parallel import make_mesh
         mesh = make_mesh(tp=tp)

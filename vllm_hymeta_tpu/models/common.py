@@ -101,9 +101,18 @@ def fuse_params(cfg, params: dict, tp: int = 1) -> dict:
       * gate/up -> gate_up_proj
     Cuts the number of big matmuls per layer roughly in half — decode is
     weight-read and op-overhead bound.  `tp` controls the rank-block
-    layout so "model"-axis sharding stays correct."""
+    layout so "model"-axis sharding stays correct.
+
+    Idempotent: already-fused trees pass through, so callers can fuse on
+    the host before device_put (avoids holding fused + unfused copies in
+    HBM at once).  A pre-fused tree must have used the same `tp`."""
     import copy
     from vllm_hymeta_tpu.config import HymetaConfig
+    if params["layers"]:
+        l0 = params["layers"][0]
+        a0 = l0.get("attn", {})
+        if any(k in a0 for k in ("qkv_proj", "qkvg_proj", "qkv6_proj")):
+            return params   # already fused (e.g. on host before device_put)
     out = copy.copy(params)
     out["layers"] = []
     is_hymeta = isinstance(cfg, HymetaConfig)

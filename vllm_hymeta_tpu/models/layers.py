@@ -71,14 +71,19 @@ def glu_mlp(p: dict, x: jax.Array) -> jax.Array:
         rows = 1
         for d in gu.shape[:-1]:
             rows *= d
-        if "qw" in dp and "w_scale" in dp and rows > 64:
-            # W8A8 down proj: fuse silu·mul with the activation quant (one
-            # HBM pass) and feed XLA's int8 dot pre-quantized
+        # int8 down-proj weights: W8A8 proper ("qw") or the dual-precision
+        # prefill shadow of an INT4 tensor ("qw8")
+        qw8 = dp.get("qw") if ("qw" in dp and "w_scale" in dp) \
+            else dp.get("qw8")
+        ws8 = dp.get("w_scale") if "w_scale" in dp else dp.get("w8_scale")
+        if qw8 is not None and rows > 64:
+            # fuse silu·mul with the activation quant (one HBM pass) and
+            # feed XLA's int8 dot pre-quantized
             sh = gu.shape
             qa, a_scale = quant_matmul.glu_quant(gu.reshape(-1, sh[-1]))
             y = quant_matmul.w8a8_matmul_prequant(
-                qa, a_scale, dp["qw"], dp["w_scale"], out_dtype=x.dtype)
-            y = y.reshape(*sh[:-1], dp["qw"].shape[1])
+                qa, a_scale, qw8, ws8, out_dtype=x.dtype)
+            y = y.reshape(*sh[:-1], qw8.shape[1])
             if "b" in dp and dp["b"] is not None:
                 y = y + dp["b"].astype(y.dtype)
             return y

@@ -159,7 +159,9 @@ def _quantize_rows_pallas(x: jax.Array):
     XLA splits the row-amax reduction and the quantized write into separate
     sweeps of the activation (~3x the traffic); one kernel does both."""
     M, K = x.shape
-    bm = max(32, min(256, (4 * 1024 * 1024 // (K * 2)) // 32 * 32))
+    # VMEM budget per block ~ bm*K*(2 in + 2 double-buffer + 4 fp32 cast
+    # + 1 out + abs/rounding temps) — stay well under the 16MB scoped limit
+    bm = max(32, min(256, (11 * 1024 * 1024 // (K * 11)) // 32 * 32))
     padm = (-M) % bm
     if padm:
         x = jnp.pad(x, ((0, padm), (0, 0)))
@@ -551,26 +553,60 @@ def _pick_bk(half: int, g: int) -> int:
     return 0
 
 
+def _divisors(n: int, mult: int, hi: int):
+    return [d for d in range(mult, min(n, hi) + 1, mult) if n % d == 0]
+
+
+@functools.lru_cache(maxsize=256)
+def _pick_bk_bn_matvec(half: int, N: int, g: int):
+    """Joint (bk, bn) for the weight-read-bound decode matvec: MINIMIZE the
+    grid-step count (per-step fixed cost rivals the DMA time for thin
+    blocks) subject to bk | half (mult of g), bn | N (mult of 128) and the
+    packed-weight tile fitting double-buffered in scoped VMEM."""
+    # the kernel expands a packed tile ~6x in VMEM (int32 unpack + fp32
+    # lo/hi + bf16 dequant temporaries, double-buffered input): keep the
+    # packed bytes small enough that the whole working set stays inside
+    # the 16MB scoped limit
+    budget = 2 * 1024 * 1024 + 256 * 1024
+    best = None
+    for bk in _divisors(half, g, 8192):
+        for bn in _divisors(N, 128, 8192):
+            if bk * bn > budget:
+                continue
+            steps = (half // bk) * (N // bn)
+            key = (steps, -(bk * bn))
+            if best is None or key < best[0]:
+                best = (key, bk, bn)
+    if best is None:
+        return 0, 0
+    return best[1], best[2]
+
+
 def int4_matmul(x, qw4, scales, zeros):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])
     K = x2.shape[-1]
     half = K // 2
     g = K // scales.shape[0]
-    bk = _pick_bk(half, g) if _on_tpu() else 0
     N = qw4.shape[1]
-    if bk:
-        M = x2.shape[0]
+    M = x2.shape[0]
+    if _on_tpu() and M <= 64:
+        bk, bn = _pick_bk_bn_matvec(half, N, g)
+        if not bk:
+            bk = _pick_bk(half, g)
+            bn = next((b for b in (1024, 512, 256, 128) if N % b == 0), 0)
+    else:
+        bk = _pick_bk(half, g) if _on_tpu() else 0
+        bn = next((b for b in (1024, 512, 256, 128) if N % b == 0), 0)
+    if bk and bn:
         orig_m = M
         if M % 8 != 0:
             pad = 8 - M % 8
             x2 = jnp.pad(x2, ((0, pad), (0, 0)))
             M += pad
         bm = 32 if orig_m <= 64 else min(512, M)
-        bn = next((b for b in (1024, 512, 256, 128) if N % b == 0), 0)
-        if bn:
-            y = _int4_matmul_pallas(x2, qw4, scales, zeros, bm=bm, bn=bn,
-                                    bk=bk)[:orig_m]
-            return y.reshape(*shape[:-1], N)
+        y = _int4_matmul_pallas(x2, qw4, scales, zeros, bm=bm, bn=bn,
+                                bk=bk)[:orig_m]
+        return y.reshape(*shape[:-1], N)
     y = int4_matmul_ref(x2, qw4, scales, zeros)
     return y.reshape(*shape[:-1], N)
