@@ -40,21 +40,22 @@ def build_params(cfg, scheme: str, fuse: bool = True):
     the HOST so the device only ever holds the fused tree — fused+unfused
     at once would double weight HBM (the engine's fuse_params is
     idempotent and passes the pre-fused tree through)."""
-    from vllm_hymeta_tpu.models import common, gla_swa
+    from vllm_hymeta_tpu.models import common, get_model
     from vllm_hymeta_tpu.quant import (quantize_params_gptq,
                                        quantize_params_w8a8)
     from vllm_hymeta_tpu.quant.io import load_quantized, save_quantized
 
-    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             ".bench_cache",
-                             f"{scheme}_{cfg.hidden_size}_{cfg.num_hidden_layers}")
+    cache_dir = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
+        f"{cfg.model_type}_{scheme}_{cfg.hidden_size}"
+        f"_{cfg.num_hidden_layers}")
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         if os.path.exists(os.path.join(cache_dir, "quantized.safetensors")):
             params = load_quantized(cache_dir)
         else:
-            params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
-                                         dtype=jnp.bfloat16)
+            params = get_model(cfg).init_params(cfg, jax.random.PRNGKey(0),
+                                                dtype=jnp.bfloat16)
             if scheme == "w8a8":
                 params = quantize_params_w8a8(params)
             elif scheme == "gptq4":
@@ -77,16 +78,25 @@ def main():
     scheme = os.environ.get("BENCH_SCHEME", "w8a8")
     small = os.environ.get("BENCH_SMALL") == "1"
 
-    from vllm_hymeta_tpu.config import GLAswaConfig
+    from vllm_hymeta_tpu.config import GLAswaConfig, HymetaConfig
     from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
     from vllm_hymeta_tpu.engine.sampler import SamplingParams
 
+    model = os.environ.get("BENCH_MODEL", "7b")
     if small:
         cfg = GLAswaConfig(vocab_size=4096, hidden_size=512,
                            num_hidden_layers=4, num_attention_heads=8,
                            num_key_value_heads=4, intermediate_size=1024,
                            sliding_window=1024)
         prompt_len = min(prompt_len, 4096)
+    elif model in ("70b", "hybrid"):
+        # Hymeta-70B architecture (intra-layer hybrid + metatokens + MoE)
+        # at real layer WIDTH; layer COUNT scaled to fit one chip's HBM
+        # (BENCH_LAYERS, default 4 of 28 — per-layer cost is uniform, so
+        # tokens/s/layer extrapolates).  Full 70B needs the multi-chip
+        # mesh path (readme: TP4+EP in the reference, `readme.md:112-123`).
+        layers = int(os.environ.get("BENCH_LAYERS", 4))
+        cfg = HymetaConfig(num_hidden_layers=layers)
     else:
         cfg = GLAswaConfig()  # real 7B dims
 
@@ -118,9 +128,12 @@ def main():
         assert len(req.output) == gen
     mean_ms = sum(times) / len(times)
 
-    baseline = BASELINE_MS.get(prompt_len)
+    baseline = BASELINE_MS.get(prompt_len) if cfg.model_type == "gla_swa" \
+        else None
+    name = "7B" if cfg.model_type == "gla_swa" \
+        else f"70Barch_L{cfg.num_hidden_layers}"
     result = {
-        "metric": f"7B_{scheme}_{prompt_len//1024}k_gen{gen}_latency",
+        "metric": f"{name}_{scheme}_{prompt_len//1024}k_gen{gen}_latency",
         "value": round(mean_ms, 1),
         "unit": "ms",
         "vs_baseline": round(baseline / mean_ms, 3) if baseline else None,

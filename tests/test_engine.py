@@ -123,3 +123,42 @@ class TestSampler:
                          jnp.ones((1,)), jnp.zeros((1,), jnp.int32),
                          jnp.array([0.5]))
             assert int(ids[0]) == 0
+
+
+class TestBatchedPrefill:
+    def test_batched_prefill_matches_single(self):
+        """Four same-bucket prompts: the grouped multi-request prefill
+        step must emit the same greedy tokens as prefill_batch=1."""
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(3),
+                                     dtype=jnp.float32)
+        rs = np.random.RandomState(3)
+        prompts = [list(rs.randint(0, 256, size=n))
+                   for n in (9, 11, 7, 13)]
+        sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+        outs = {}
+        for pb in (1, 4):
+            eng = Engine(cfg, params,
+                         _ecfg(max_num_seqs=4, prefill_batch=pb))
+            reqs = eng.generate(prompts, sp)
+            outs[pb] = [r.output for r in reqs]
+            for prompt, req in zip(prompts, reqs):
+                _assert_greedy_consistent(cfg, gla_swa, params, prompt,
+                                          req.output)
+        assert outs[1] == outs[4]
+
+    def test_batched_chunked_continuation(self):
+        """Multi-chunk prompts still work through the batched path (the
+        ring/state continuation is per-request)."""
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(4),
+                                     dtype=jnp.float32)
+        rs = np.random.RandomState(4)
+        prompts = [list(rs.randint(0, 256, size=n)) for n in (40, 37)]
+        sp = SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True)
+        eng = Engine(cfg, params, _ecfg(max_num_seqs=2, prefill_batch=4))
+        reqs = eng.generate(prompts, sp)
+        for prompt, req in zip(prompts, reqs):
+            assert len(req.output) == 3
+            _assert_greedy_consistent(cfg, gla_swa, params, prompt,
+                                      req.output)

@@ -83,3 +83,67 @@ class TestEvals:
         assert res["n"] == 2
         assert res["correct"] == 1  # only the empty-string item matches
         assert len(res["predictions"]) == 2
+
+
+class TestSuites:
+    """Suite adapters reproduce the reference's opencompass prompt
+    formats (`bench/eval*.py`) over the in-tree mechanisms."""
+
+    def test_mmlu_format(self):
+        from vllm_hymeta_tpu.evals.suites import build_items
+        rows = [
+            {"question": f"Q{i}?", "choices": ["a", "b", "c", "d"],
+             "answer": "B"} for i in range(7)
+        ]
+        items = build_items("mmlu", rows)
+        # 5 few-shot rows consumed from the head
+        assert len(items) == 2
+        it = items[0]
+        assert it["answer"] == 1
+        assert it["choices"] == [" A", " B", " C", " D"]
+        assert it["prompt"].count("Answer: B") == 5    # shots carry answers
+        assert it["prompt"].rstrip().endswith("Answer:")
+
+    def test_gsm8k_format_and_number_match(self):
+        from vllm_hymeta_tpu.evals.gen import _match
+        from vllm_hymeta_tpu.evals.suites import build_items
+        rows = [{"question": f"add {i}+{i}",
+                 "answer": f"thinking... #### {2 * i}"} for i in range(6)]
+        items = build_items("gsm8k", rows)
+        assert len(items) == 2
+        assert items[0]["answer"] == "8"
+        assert _match("the result is 8.", items[0]["answer"], "number")
+        assert not _match("the result is 9.", items[0]["answer"], "number")
+
+    def test_arc_and_hellaswag_and_quality(self):
+        from vllm_hymeta_tpu.evals.suites import build_items
+        [arc] = build_items("arc_c", [{
+            "question": "why?",
+            "choices": {"text": ["x", "y"], "label": ["A", "B"]},
+            "answerKey": "B"}])
+        assert arc["answer"] == 1 and arc["choices"] == [" x", " y"]
+        [hs] = build_items("hellaswag", [{
+            "ctx": "A man", "endings": ["runs", "swims"], "label": 1}])
+        assert hs["answer"] == 1
+        [q] = build_items("quality", [{
+            "article": "long text", "question": "q?",
+            "options": ["o1", "o2", "o3", "o4"], "gold_label": 3}])
+        assert q["answer"] == 2
+
+    def test_mc_suite_end_to_end_tiny(self):
+        from vllm_hymeta_tpu.evals.suites import build_items
+
+        class IdTok:
+            def encode(self, s):
+                return [ord(c) % 251 for c in s]
+
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+        rows = [{"question": "pick", "choices": ["aa", "bb"], "answer": 0}]
+        items = build_items("arc_c", [{
+            "question": "pick", "choices": {"text": ["aa", "bb"],
+                                            "label": ["A", "B"]},
+            "answerKey": "A"}])
+        res = mc_accuracy(cfg, params, items, tokenizer=IdTok())
+        assert res["n"] == 1 and res["accuracy"] in (0.0, 1.0)

@@ -164,6 +164,18 @@ def test_fused_decode_attention_matches_ref():
     ref, _ = swa.swa_decode(q, rk, rv, positions, W)
     assert _rms(out, ref.astype(out.dtype)) < 2e-2
 
+    # non-power-of-two ring (the 7B serving shape: 4097 -> 4224 = 33*128)
+    from vllm_hymeta_tpu.ops.swa_decode_pallas import fused_decode_attention
+    R2, W2 = 4224, 4097
+    rk2 = jax.random.normal(jax.random.fold_in(key, 3), (S, Hkv, R2, D),
+                            jnp.bfloat16)
+    rv2 = jax.random.normal(jax.random.fold_in(key, 4), (S, Hkv, R2, D),
+                            jnp.bfloat16)
+    pos2 = jnp.array([3, 4223, 9000, 32000], jnp.int32)
+    out2 = fused_decode_attention(q, rk2, rv2, pos2, W2)
+    ref2, _ = swa.swa_decode(q, rk2, rv2, pos2, W2)
+    assert _rms(out2, ref2.astype(out2.dtype)) < 2e-2
+
 
 # ---------------------------------------------------------------------------
 # on-chip model consistency: serving path (real kernels) vs golden forward

@@ -48,6 +48,10 @@ class EngineConfig:
     # the TPU analogue of the reference's multi-step decoding
     # (`attention/meta_attention.py:338-409` advance_step)
     decode_block: int = 8
+    # max same-bucket requests prefilled in ONE step (batch sizes used:
+    # powers of two up to this) — large-M matmuls for short-prompt
+    # serving; 1 disables
+    prefill_batch: int = 8
 
 
 @dataclasses.dataclass
@@ -128,6 +132,7 @@ class Engine:
         self.active = np.zeros((S,), bool)
 
         self._compiled_prefill = {}
+        self._compiled_prefill_batched = {}
         self._compiled_decode = None
         self._compiled_start = None
         self._last_was_prefill = False
@@ -178,6 +183,28 @@ class Engine:
 
         jfn = jax.jit(fn, donate_argnums=(2,))
         self._compiled_prefill[bucket] = jfn
+        return jfn
+
+    def _prefill_batched_fn(self, bucket: int, B: int):
+        """B same-bucket request chunks in one program (gla_swa only;
+        single-device path)."""
+        key_ = (bucket, B)
+        if key_ in self._compiled_prefill_batched:
+            return self._compiled_prefill_batched[key_]
+
+        def fn(params, cache, samp, tokens, slots, pos0, n_valid, key):
+            logits, cache = self.model.prefill_batched(
+                self.cfg, params, cache, tokens, slots, pos0, n_valid)
+            lg = logits.astype(jnp.float32)                 # [B, V]
+            lg = sampler_lib.apply_repetition_penalty(
+                lg, samp["seen"][slots], samp["rep_penalty"][slots])
+            toks = sampler_lib.sample(
+                lg, key, samp["temperature"][slots],
+                samp["top_k"][slots], samp["top_p"][slots])
+            return toks, cache
+
+        jfn = jax.jit(fn, donate_argnums=(1,))
+        self._compiled_prefill_batched[key_] = jfn
         return jfn
 
     def _start_fn(self):
@@ -368,13 +395,62 @@ class Engine:
         # so in-flight generations aren't starved by long prompts
         # (chunked-prefill interleaving, the role of the reference's mixed
         # [prefills | decodes] batches, `meta_attention.py:612-639`)
-        pre = next((r for r in self.slot_req.values()
-                    if r.prefill_done < len(r.prompt)), None)
+        pending = [r for r in self.slot_req.values()
+                   if r.prefill_done < len(r.prompt)]
+        pre = pending[0] if pending else None
         if pre is not None and self._last_was_prefill and any(self.active):
             pre = None
             self._last_was_prefill = False
         elif pre is not None:
             self._last_was_prefill = True
+
+        # multi-request prefill: group same-bucket chunks into one step
+        # (powers of two up to prefill_batch; gla_swa single-device only)
+        if (pre is not None and len(pending) >= 2
+                and self.ecfg.prefill_batch > 1
+                and not self.is_hymeta and self.mesh is None):
+            by_bucket: Dict[int, List[Request]] = {}
+            for r in pending:
+                n = min(len(r.prompt) - r.prefill_done,
+                        self.ecfg.prefill_chunk)
+                by_bucket.setdefault(self._bucket_for(n), []).append(r)
+            bucket, group = max(by_bucket.items(), key=lambda kv: len(kv[1]))
+            if len(group) >= 2:
+                B = 1
+                while B * 2 <= min(len(group), self.ecfg.prefill_batch):
+                    B *= 2
+                group = group[:B]
+                tokens = np.zeros((B, bucket), np.int32)
+                slots = np.zeros((B,), np.int32)
+                pos0 = np.zeros((B,), np.int32)
+                nval = np.zeros((B,), np.int32)
+                for b, r in enumerate(group):
+                    n = min(len(r.prompt) - r.prefill_done, bucket)
+                    tokens[b, :n] = r.prompt[
+                        r.prefill_done:r.prefill_done + n]
+                    slots[b] = r.slot
+                    pos0[b] = r.prefill_done
+                    nval[b] = n
+                fn = self._prefill_batched_fn(bucket, B)
+                self.rng, k = jax.random.split(self.rng)
+                toks_dev, self.cache = fn(
+                    self.params, self.cache, self.samp_state,
+                    jnp.asarray(tokens), jnp.asarray(slots),
+                    jnp.asarray(pos0), jnp.asarray(nval), k)
+                done_idx = []
+                for b, r in enumerate(group):
+                    r.prefill_done += int(nval[b])
+                    self.positions[r.slot] = r.prefill_done
+                    if r.prefill_done >= len(r.prompt):
+                        done_idx.append((b, r))
+                if done_idx:
+                    toks = np.asarray(toks_dev)
+                    for b, r in done_idx:
+                        self._emit(r, int(toks[b]), finished)
+                        if not r.finished:
+                            self.active[r.slot] = True
+                return finished
+
         if pre is not None:
             n_left = len(pre.prompt) - pre.prefill_done
             n = min(n_left, self.ecfg.prefill_chunk)

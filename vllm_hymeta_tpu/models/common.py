@@ -201,6 +201,22 @@ def gather_ring_context(
     return k, v, k_pos
 
 
+def gather_ring_context_batched(
+    layer_cache: dict, slots: jax.Array, pos0: jax.Array
+) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """Batched gather_ring_context: slots/pos0 [B] ->
+    (k [B, R, Hkv, D], v [B, R, Hkv, D], k_pos [B, R])."""
+    kc, vc = cache_lib.kv_entry(layer_cache)
+    S, Hkv, R, D = kc.shape
+    k_pos = pos0[:, None] - R + jnp.arange(R, dtype=jnp.int32)[None]
+    idx = jnp.mod(k_pos, R)                                  # [B, R]
+    sel = idx[:, None, :, None]
+    k = jnp.take_along_axis(kc[slots], sel, axis=2)          # [B,Hkv,R,D]
+    v = jnp.take_along_axis(vc[slots], sel, axis=2)
+    k_pos = jnp.where(k_pos >= 0, k_pos, INVALID_POS)
+    return jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2), k_pos
+
+
 def local_heads(cfg, pctx) -> Tuple[int, int]:
     """(query heads, kv heads) on this model-parallel rank.  Requires
     tp <= num_key_value_heads (the replicate-if-fewer path of

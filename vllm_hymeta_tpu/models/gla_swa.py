@@ -275,6 +275,73 @@ def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
     return logits, {"layers": new_layers}
 
 
+def prefill_batched(cfg: GLAswaConfig, params: dict, cache: dict,
+                    tokens: jax.Array,    # [B, T] (padded)
+                    slots: jax.Array,     # [B] int32
+                    pos0: jax.Array,      # [B] first position per request
+                    n_valid: jax.Array,   # [B] valid token counts
+                    ) -> Tuple[jax.Array, dict]:
+    """Multi-request prefill: B same-bucket chunks in ONE step, so the
+    projections/MLP run at M = B*T (full MXU tiles) instead of B separate
+    M = T dispatches — the role of the reference's mixed
+    [prefills | decodes] batches (`attention/meta_attention.py:612-639`)
+    for short-prompt serving.  Single-device path (the mesh engine keeps
+    per-chunk dispatch)."""
+    B, T = tokens.shape
+    positions = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    valid = jnp.arange(T)[None] < n_valid[:, None]          # [B, T]
+    x = common.embed_vp(params["embed"], tokens, NULL_CTX)  # [B, T, h]
+    H, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    D = cfg.head_dim
+
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        if cfg.is_swa_layer(i):
+            q, k, v = common.project_qkv(ap, y, H, Hkv, D)  # [B,T,*,D]
+            q, k = _swa_rope(cfg, q, k, positions)
+            ctx_k, ctx_v, ctx_pos = common.gather_ring_context_batched(
+                lc, slots, pos0)
+            R = ctx_k.shape[1]
+            k_all = jnp.concatenate([ctx_k, k], axis=1)
+            v_all = jnp.concatenate([ctx_v, v], axis=1)
+            qp = jnp.where(valid, positions, swa.INVALID_POS)
+            kp_all = jnp.concatenate([ctx_pos, qp], axis=1)
+            out = swa.splash_prefill_batched(
+                q, k_all, v_all, kp_all, cfg.window_keys, ctx_len=R)
+            att = linear(ap["o_proj"],
+                         common.merge_heads(out.astype(y.dtype)))
+            for b in range(B):
+                lc = cache_lib.write_prefill_kv(
+                    lc, slots[b], k[b], v[b], positions[b], valid[b])
+        else:
+            q, k, v, g = _gla_qkvg(cfg, ap, y)
+            k = jnp.where(valid[..., None, None], k, 0.0)
+            v = jnp.where(valid[..., None, None], v, 0.0)
+            g = jnp.where(valid[..., None, None], g, 0.0)
+            S0 = lc["state"][slots].astype(jnp.float32)     # [B, H, D, D]
+            o, S = gla_chunk.gla_chunked(
+                q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3),
+                initial_state=S0)
+            att = _gla_out(cfg, ap, o.transpose(0, 2, 1, 3))
+            lc = {"state": lc["state"].at[slots].set(
+                S.astype(lc["state"].dtype))}
+        new_layers.append(lc)
+        y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                         cfg.norm_eps)
+        x = res + glu_mlp(lp["mlp"], y)
+
+    x_last = jnp.take_along_axis(
+        x, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)[:, 0]
+    x_last = naive.rms_norm(x_last, params["final_norm"]["w"], cfg.norm_eps)
+    logits = common.lm_head_gather(params["lm_head"], x_last, NULL_CTX)
+    return logits, {"layers": new_layers}
+
+
 # ---------------------------------------------------------------------------
 # decode (one token per active slot)
 # ---------------------------------------------------------------------------

@@ -252,7 +252,8 @@ def precompute_meta(cfg: HymetaConfig, params: dict) -> dict:
         ap = lp["attn"]
 
         # SWA branch on metatokens: RoPE then self-only non-causal attention
-        q, k, v = common.project_qkv(ap["swa"], y[None], H, Hkv, D)
+        swa_qkv, gla_qkv = _project_both(cfg, ap, y[None])
+        q, k, v = swa_qkv
         cos, sin = naive.rope_cos_sin(positions[None], D, cfg.rope_theta)
         q = naive.apply_rope(q, cos, sin)
         k = naive.apply_rope(k, cos, sin)
@@ -266,7 +267,8 @@ def precompute_meta(cfg: HymetaConfig, params: dict) -> dict:
 
         # GLA branch from zero state
         lb = _layer_lower_bound(cfg, lbs, i)
-        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y[None], lb)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y[None], lb,
+                                  qkv=gla_qkv)
         o, S = gla_chunk.gla_chunked(
             qg.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
             vg.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))

@@ -436,30 +436,36 @@ def int4_matmul_ref(x, qw4, scales, zeros):
     return groupwise_dequant_matmul_ref(x, qw, scales, zeros)
 
 
-def _int4_kernel(x_ref, qw4_ref, s_ref, z_ref, o_ref, acc_ref, *, g: int,
-                 k_steps: int, half_k: int):
+def _int4_kernel(x_ref, qw4_ref, sl_ref, zl_ref, sh_ref, zh_ref, o_ref,
+                 acc_ref, *, g: int, k_steps: int, half_k: int):
     """Grid (M/bm, N/bn, Khalf/bk): each step processes bk rows of BOTH
-    halves (packed together), accumulating two bf16 matmuls."""
+    halves (packed together), accumulating two bf16 matmuls.
+
+    Dequant math variants were microbenched on-device
+    (tools/int4_variants_bench.py): fp32 with repeated group params wins
+    over [rows, g, bn] broadcast views and over an int16 bf16
+    magic-number unpack (16-bit shifts don't legalize in Mosaic, so that
+    path pays int32<->int16 converts AND loses scale precision).
+    """
     ik = pl.program_id(2)
 
     @pl.when(ik == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    packed = qw4_ref[:].astype(jnp.int32) + 128      # int8 bits -> [0,255]
-    lo = (packed & 0xF).astype(jnp.float32) - 8.0
-    hi = ((packed >> 4) & 0xF).astype(jnp.float32) - 8.0
-    bk = packed.shape[0]
-    rows = 2 * bk // g                               # may be sublane-padded
-    s = s_ref[:rows].astype(jnp.float32)             # [2*bk//g, bn]
-    z = z_ref[:rows].astype(jnp.float32)
-    s_lo = jnp.repeat(s[: bk // g], g, axis=0)
-    z_lo = jnp.repeat(z[: bk // g], g, axis=0)
-    s_hi = jnp.repeat(s[bk // g: rows], g, axis=0)
-    z_hi = jnp.repeat(z[bk // g: rows], g, axis=0)
-    w_lo = ((lo - z_lo) * s_lo).astype(jnp.bfloat16)
-    w_hi = ((hi - z_hi) * s_hi).astype(jnp.bfloat16)
+    packed = qw4_ref[:]                              # int8 [bk, bn]
+    bk, bn = packed.shape
+    u = (packed.astype(jnp.int32) + 128) & 0xFF      # original byte [0,255]
+    lo = (u & 0xF).astype(jnp.float32) - 8.0
+    hi = (u >> 4).astype(jnp.float32) - 8.0
 
+    def dequant(m, s_ref2, z_ref2):
+        s = jnp.repeat(s_ref2[:, 0].astype(jnp.float32), g, axis=0)
+        z = jnp.repeat(z_ref2[:, 0].astype(jnp.float32), g, axis=0)
+        return ((m - z) * s).astype(jnp.bfloat16)
+
+    w_lo = dequant(lo, sl_ref, zl_ref)
+    w_hi = dequant(hi, sh_ref, zh_ref)
     x_lo = x_ref[:, :bk]
     x_hi = x_ref[:, bk:]
     acc_ref[:] += jax.lax.dot(x_lo, w_lo,
@@ -474,34 +480,41 @@ def _int4_kernel(x_ref, qw4_ref, s_ref, z_ref, o_ref, acc_ref, *, g: int,
 
 @functools.partial(jax.jit, static_argnames=("bm", "bn", "bk"))
 def _int4_matmul_pallas(x, qw4, scales, zeros, bm: int, bn: int, bk: int):
-    """x [M, K] bf16; qw4 [K/2, N] uint8; scales/zeros [K/g, N].
+    """x [M, K] bf16; qw4 [K/2, N] int8 bit pattern; scales/zeros [K/g, N]
+    in their NATURAL layout (no per-call relayout — it used to run inside
+    the decode loop every token).  Group params ride in as two refs each:
+    the lo-half rows (block k) and the hi-half rows (block k_steps + k).
 
     The x block spec delivers both halves' columns for a K-half tile:
-    columns [k*bk, (k+1)*bk) and [K/2 + k*bk, K/2 + (k+1)*bk) — realized
-    by passing x pre-swizzled as [M, 2, K/2] -> [M, K/2, 2]?  Simpler: we
-    pass x split into halves stacked on axis 1 so one block covers both.
-    """
+    x is passed tile-interleaved so one [bm, 2*bk] block covers
+    [x_lo_tile | x_hi_tile]."""
     M, K = x.shape
     half = K // 2
     N = qw4.shape[1]
     G = scales.shape[0]
     g = K // G
-    # x rearranged: [M, 2*half] with halves adjacent per tile:
-    # block over axis1 of x2 = [x_lo_tile | x_hi_tile]
     x2 = jnp.concatenate(
         [x[:, :half].reshape(M, half // bk, bk),
          x[:, half:].reshape(M, half // bk, bk)], axis=2
     ).reshape(M, 2 * half)                           # tile-interleaved
     k_steps = half // bk
     grid = (pl.cdiv(M, bm), pl.cdiv(N, bn), k_steps)
-    # scales rows per k-step: lo rows [k*bk/g, ...), hi rows offset G/2;
-    # padded up to a sublane multiple for the block spec
-    sz_rows = 2 * bk // g
-    sz_pad = (sz_rows + 7) // 8 * 8
+    per = bk // g                                    # group rows per step
 
-    def s_index(i, j, k):
-        return (k, j)
+    # group params as [G, 1, N]: Mosaic constrains only the LAST TWO block
+    # dims (1 == full dim, bn % 128), so `per` group rows per step need no
+    # sublane padding
+    s3 = scales.reshape(G, 1, N)
+    z3 = zeros.reshape(G, 1, N)
 
+    def s_lo(i, j, k):
+        return (k, 0, j)
+
+    def s_hi(i, j, k):
+        return (k_steps + k, 0, j)
+
+    sspec_lo = pl.BlockSpec((per, 1, bn), s_lo, memory_space=pltpu.VMEM)
+    sspec_hi = pl.BlockSpec((per, 1, bn), s_hi, memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_int4_kernel, g=g, k_steps=k_steps, half_k=half),
         grid=grid,
@@ -510,8 +523,7 @@ def _int4_matmul_pallas(x, qw4, scales, zeros, bm: int, bn: int, bk: int):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bk, bn), lambda i, j, k: (k, j),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((sz_pad, bn), s_index, memory_space=pltpu.VMEM),
-            pl.BlockSpec((sz_pad, bn), s_index, memory_space=pltpu.VMEM),
+            sspec_lo, sspec_lo, sspec_hi, sspec_hi,
         ],
         out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                memory_space=pltpu.VMEM),
@@ -523,27 +535,8 @@ def _int4_matmul_pallas(x, qw4, scales, zeros, bm: int, bn: int, bk: int):
             flops=2 * M * N * K,
             bytes_accessed=M * K * 2 + K * N // 2 + M * N * 2,
             transcendentals=0),
-    )(x2, qw4, _int4_scale_layout(scales, bk, g),
-      _int4_scale_layout(zeros, bk, g))
+    )(x2, qw4, s3, z3, s3, z3)
     return out
-
-
-def _int4_scale_layout(s: jax.Array, bk: int, g: int) -> jax.Array:
-    """Rearrange [K/g, N] group params so one k-step's rows (lo tile
-    groups then hi tile groups) are contiguous, each step's rows padded
-    to a sublane multiple: [k_steps * pad8(2*bk/g), N]."""
-    G, N = s.shape
-    half_g = G // 2
-    per = bk // g
-    steps = half_g // per
-    lo = s[:half_g].reshape(steps, per, N)
-    hi = s[half_g:].reshape(steps, per, N)
-    both = jnp.concatenate([lo, hi], axis=1)         # [steps, 2per, N]
-    rows = 2 * per
-    pad = (-rows) % 8
-    if pad:
-        both = jnp.pad(both, ((0, 0), (0, pad), (0, 0)))
-    return both.reshape(steps * (rows + pad), N)
 
 
 def _pick_bk(half: int, g: int) -> int:

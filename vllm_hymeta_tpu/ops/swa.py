@@ -222,6 +222,51 @@ def _splash_prefill(q, k, v, k_pos, window_keys: int, ctx_len: int,
     return jnp.swapaxes(res.reshape(Hq, Tq, D), 0, 1), None
 
 
+def splash_prefill_batched(q, k, v, k_pos, window_keys: int, ctx_len: int,
+                           scale: Optional[float] = None):
+    """Batched windowed-chunk attention for multi-request prefill steps:
+    q [B, Tq, Hq, D], k/v [B, ctx_len+Tq, Hkv, D], k_pos [B, Tk] ->
+    out [B, Tq, Hq, D].  Same static mask for every request (the relative
+    [ctx ∥ chunk] alignment is position-independent); per-request key
+    validity rides in the segment ids."""
+    B, Tq, Hq, D = q.shape
+    Tk, Hkv = k.shape[1], k.shape[2]
+    rep = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+    if jax.default_backend() not in ("tpu", "axon") or D != 128 \
+            or Tq % min(512, Tq) or Tq % 128:
+        q_pos = jnp.where(k_pos[:, ctx_len:] >= 0,
+                          k_pos[:, ctx_len:], INVALID_POS)
+
+        def ref(qb, kb, vb, qp, kp):
+            o, _ = flash_window_prefill_ref(qb, kb, vb, qp, kp,
+                                            window_keys, ctx_len, scale)
+            return o
+        return jax.vmap(ref)(q, k, v, q_pos, k_pos)
+    bq = min(512, Tq)
+    bkv = 512
+    tk_p = _round_up(Tk, bkv)
+    kern = _make_splash(Tq, tk_p, window_keys, ctx_len, rep, bq, bkv,
+                        False)
+    qg = (jnp.swapaxes(q, 1, 2).reshape(B, Hkv, rep, Tq, D)
+          * jnp.bfloat16(scale))
+    kh = jnp.pad(jnp.swapaxes(k, 1, 2),
+                 ((0, 0), (0, 0), (0, tk_p - Tk), (0, 0)))
+    vh = jnp.pad(jnp.swapaxes(v, 1, 2),
+                 ((0, 0), (0, 0), (0, tk_p - Tk), (0, 0)))
+    kseg = jnp.pad((k_pos >= 0).astype(jnp.int32), ((0, 0), (0, tk_p - Tk)))
+
+    def per_req(qg_b, kh_b, vh_b, kseg_b):
+        seg = _splash_kernel_lib.SegmentIds(
+            q=jnp.ones((Tq,), jnp.int32), kv=kseg_b)
+        return jax.vmap(kern, in_axes=(0, 0, 0, None))(qg_b, kh_b, vh_b,
+                                                       seg)
+
+    out = jax.vmap(per_req)(qg, kh, vh, kseg)     # [B, Hkv, rep, Tq, D]
+    return jnp.swapaxes(out.reshape(B, Hq, Tq, D), 1, 2)
+
+
 def flash_window_prefill(
     q: jax.Array,       # [Tq, Hq, D] chunk queries
     k: jax.Array,       # [Tk, Hkv, D] keys: [ctx_len context ∥ Tq chunk]
@@ -251,6 +296,13 @@ def flash_window_prefill(
 
     if jax.default_backend() not in ("tpu", "axon"):
         # Pallas TPU kernels can't lower on CPU; use the jnp reference
+        return flash_window_prefill_ref(q, k, v, q_pos, k_pos, window_keys,
+                                        ctx_len, scale, mask_mode)
+
+    if mask_mode == "all" and Tk <= 512:
+        # metatoken pass: 128-key dense attention — XLA einsum is at
+        # roofline here (SURVEY.md N6) and the flash kernel's fp32 score
+        # tile would waste scoped VMEM at large Tq
         return flash_window_prefill_ref(q, k, v, q_pos, k_pos, window_keys,
                                         ctx_len, scale, mask_mode)
 

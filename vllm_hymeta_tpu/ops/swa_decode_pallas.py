@@ -161,9 +161,10 @@ def fused_decode_attention(q, ring_k, ring_v, positions, window_keys,
     Returns out [S, Hq, D] fp32."""
     from vllm_hymeta_tpu.ops import swa
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    if on_tpu and ring_k.dtype == jnp.bfloat16 \
-            and ring_k.shape[2] % 1024 == 0:
-        bR = 2048 if ring_k.shape[2] % 2048 == 0 else 1024
+    R = ring_k.shape[2]
+    bR = max((b for b in range(128, 2048 + 1, 128) if R % b == 0),
+             default=0)
+    if on_tpu and ring_k.dtype == jnp.bfloat16 and bR:
         out = fused_decode_attention_pallas(
             q, ring_k, ring_v, positions, window_keys, meta_k, meta_v,
             scale, bR=bR)

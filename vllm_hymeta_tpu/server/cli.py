@@ -92,9 +92,16 @@ def main(argv=None):
                         help="accuracy evals (in-tree opencompass "
                              "replacement: ppl | mc | gen over jsonl)")
     common(pe)
-    pe.add_argument("--task", required=True, choices=["ppl", "mc", "gen"])
+    pe.add_argument("--task", choices=["ppl", "mc", "gen"],
+                    help="raw mechanism (or use --suite)")
+    pe.add_argument("--suite",
+                    help="named suite with the reference's prompt format: "
+                         "mmlu|cmmlu|ceval|arc_c|hellaswag|gsm8k|nq|"
+                         "triviaqa|quality|ifeval (evals/suites.py)")
     pe.add_argument("--data", required=True,
-                    help="jsonl items (mc/gen) or token-id json list (ppl)")
+                    help="jsonl items (mc/gen/suite) or token-id json "
+                         "list (ppl)")
+    pe.add_argument("--fewshot", type=int, default=None)
     pe.add_argument("--max-tokens", type=int, default=256)
     pe.add_argument("--match", default="contains",
                     choices=["exact", "contains", "number"])
@@ -156,8 +163,29 @@ def main(argv=None):
         from vllm_hymeta_tpu import evals
         from vllm_hymeta_tpu.engine.api import _try_load_tokenizer
         from vllm_hymeta_tpu.evals.tasks import load_jsonl
+        if not args.task and not args.suite:
+            p.error("eval needs --task or --suite")
         tok = _try_load_tokenizer(args.model)
-        if args.task == "ppl":
+        if args.suite:
+            from vllm_hymeta_tpu.evals.suites import SUITES, build_items
+            spec = SUITES[args.suite]
+            items = build_items(args.suite, load_jsonl(args.data),
+                                fewshot=args.fewshot)
+            if spec["mode"] == "mc":
+                cfg, params = _load_params(args)
+                res = evals.mc_accuracy(
+                    cfg, params, items, tokenizer=tok,
+                    length_normalize=spec.get("length_normalize", False))
+            else:
+                cfg, eng = _load(args)
+                res = evals.gen_accuracy(
+                    eng, items, tok,
+                    max_tokens=spec.get("max_tokens", args.max_tokens),
+                    match=spec.get("match", args.match),
+                    stop_at_newline=spec.get("stop_at_newline", False))
+                res.pop("predictions")
+            print(json.dumps({"task": args.suite, **res}))
+        elif args.task == "ppl":
             cfg, params = _load_params(args)
             with open(args.data) as f:
                 tokens = json.load(f)
