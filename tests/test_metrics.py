@@ -28,7 +28,8 @@ class TestMetrics:
         assert d["requests_completed"] == 2
         assert d["prompt_tokens"] == 20
         assert d["generated_tokens"] == 8
-        assert d["prefill_steps"] >= 2
+        # batched multi-request prefill may fold both prompts into one step
+        assert d["prefill_steps"] >= 1
         assert d["decode_steps"] >= 1
         assert d["decode_tokens_per_s"] > 0
         assert d["mean_ttft_s"] > 0
