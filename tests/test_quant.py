@@ -134,6 +134,28 @@ class TestTransforms:
         assert "qw" in gla_layer["attn"]["q_proj"]
         assert "qw" in gla_layer["mlp"]["down_proj"]
 
+    def test_int8_lm_head_top1_agreement(self):
+        """Optional int8 LM head: logits track the bf16 head closely and
+        greedy top-1 agrees on the overwhelming majority of rows."""
+        from vllm_hymeta_tpu.models.common import lm_head_gather
+        from vllm_hymeta_tpu.parallel.pctx import NULL_CTX
+        from vllm_hymeta_tpu.quant.transform import quantize_lm_head
+        key = jax.random.PRNGKey(3)
+        h, V, B = 128, 512, 64
+        params = {"lm_head": {"w": jax.random.normal(key, (h, V)) * 0.05}}
+        qparams = quantize_lm_head(params)
+        assert "qw" in qparams["lm_head"]
+        x = jax.random.normal(jax.random.fold_in(key, 1), (B, h),
+                              jnp.bfloat16)
+        ref = lm_head_gather(params["lm_head"], x, NULL_CTX)
+        got = lm_head_gather(qparams["lm_head"], x, NULL_CTX)
+        rms = float(jnp.sqrt(jnp.mean((ref - got) ** 2))
+                    / (jnp.sqrt(jnp.mean(ref ** 2)) + 1e-9))
+        assert rms < 3e-2
+        agree = float(jnp.mean((jnp.argmax(ref, -1)
+                                == jnp.argmax(got, -1)).astype(jnp.float32)))
+        assert agree > 0.9
+
     def test_quantized_model_runs_and_tracks_bf16(self):
         cfg = tiny_glaswa()
         params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),

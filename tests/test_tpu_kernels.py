@@ -177,6 +177,30 @@ def test_fused_decode_attention_matches_ref():
     assert _rms(out2, ref2.astype(out2.dtype)) < 2e-2
 
 
+def test_fused_decode_attention_int8_ring():
+    """INT8 ring entries with per-(head,position) scales dequantized
+    in-kernel match the dequantize-then-attend reference."""
+    from vllm_hymeta_tpu import cache as cache_lib
+    from vllm_hymeta_tpu.ops import swa
+    from vllm_hymeta_tpu.ops.swa_decode_pallas import fused_decode_attention
+    key = jax.random.PRNGKey(11)
+    S, Hq, Hkv, D, R, W = 4, 4, 2, 128, 2048, 1024
+    q = jax.random.normal(key, (S, Hq, D), jnp.bfloat16)
+    rk = jax.random.normal(jax.random.fold_in(key, 1), (S, Hkv, R, D),
+                           jnp.bfloat16)
+    rv = jax.random.normal(jax.random.fold_in(key, 2), (S, Hkv, R, D),
+                           jnp.bfloat16)
+    qk, ks = cache_lib.quantize_kv(rk)
+    qv, vs = cache_lib.quantize_kv(rv)
+    positions = jnp.array([5, 900, 2047, 4000], jnp.int32)
+    out = fused_decode_attention(q, qk, qv, positions, W,
+                                 k_scale=ks, v_scale=vs)
+    dk = qk.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16)
+    dv = qv.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16)
+    ref, _ = swa.swa_decode(q, dk, dv, positions, W)
+    assert _rms(out, ref.astype(out.dtype)) < 2e-2
+
+
 # ---------------------------------------------------------------------------
 # on-chip model consistency: serving path (real kernels) vs golden forward
 # ---------------------------------------------------------------------------

@@ -246,9 +246,16 @@ def embed_vp(p: dict, ids: jax.Array, pctx) -> jax.Array:
 
 def lm_head_gather(p: dict, x: jax.Array, pctx) -> jax.Array:
     """fp32 LM head over the vocab-sharded weight, gathered to full vocab
-    (`modeling_hymeta.py:1459-1469`)."""
-    y = jnp.dot(x.astype(jnp.float32), p["w"].astype(jnp.float32),
-                preferred_element_type=jnp.float32)
+    (`modeling_hymeta.py:1459-1469`).  Dispatches on the optional int8
+    layout from quant/transform.quantize_lm_head ("qw" + "w_scale")."""
+    if "qw" in p:
+        from vllm_hymeta_tpu.ops import quant_matmul
+        y = quant_matmul.w8a8_matmul(
+            x.astype(jnp.bfloat16), p["qw"], p["w_scale"]
+        ).astype(jnp.float32)
+    else:
+        y = jnp.dot(x.astype(jnp.float32), p["w"].astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
     return pctx.all_gather(y, axis=-1) if pctx.model_axis else y
 
 

@@ -372,11 +372,19 @@ def decode(cfg: GLAswaConfig, params: dict, cache: dict,
             q = naive.apply_rope(q, cos, sin)
             k = naive.apply_rope(k, cos, sin)
             lc = cache_lib.write_decode_kv(lc, k, v, positions, active)
-            rk, rv = cache_lib.kv_entry(lc)
             from vllm_hymeta_tpu.ops.swa_decode_pallas import \
                 fused_decode_attention
-            out = fused_decode_attention(q, rk, rv, positions,
-                                         cfg.window_keys)
+            if lc["k"].dtype == jnp.int8:
+                # int8 ring straight into the kernel (scales applied
+                # in-kernel; no [S,Hkv,R,D] dequant materialization) —
+                # the dispatcher dequantizes itself on non-TPU backends
+                out = fused_decode_attention(
+                    q, lc["k"], lc["v"], positions, cfg.window_keys,
+                    k_scale=lc["k_scale"], v_scale=lc["v_scale"])
+            else:
+                rk, rv = cache_lib.kv_entry(lc)
+                out = fused_decode_attention(q, rk, rv, positions,
+                                             cfg.window_keys)
             att = pctx.psum(linear(
                 ap["o_proj"], common.merge_heads(out.astype(y.dtype))))
         else:

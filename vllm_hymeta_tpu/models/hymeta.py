@@ -491,11 +491,17 @@ def decode(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         q = naive.apply_rope(q, cos, sin)
         k = naive.apply_rope(k, cos, sin)
         lc = cache_lib.write_decode_kv(lc, k, v, positions, active)
-        rk, rv = cache_lib.kv_entry(lc)
         from vllm_hymeta_tpu.ops.swa_decode_pallas import \
             fused_decode_attention
-        mo = fused_decode_attention(q, rk, rv, positions, window,
-                                    meta["k"][i], meta["v"][i])
+        if lc["k"].dtype == jnp.int8:
+            mo = fused_decode_attention(
+                q, lc["k"], lc["v"], positions, window,
+                meta["k"][i], meta["v"][i],
+                k_scale=lc["k_scale"], v_scale=lc["v_scale"])
+        else:
+            rk, rv = cache_lib.kv_entry(lc)
+            mo = fused_decode_attention(q, rk, rv, positions, window,
+                                        meta["k"][i], meta["v"][i])
         swa_out = mo.astype(y.dtype)
 
         # ---- GLA branch

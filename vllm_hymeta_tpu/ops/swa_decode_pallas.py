@@ -22,10 +22,14 @@ from jax.experimental.pallas import tpu as pltpu
 NEG_INF = -1e30
 
 
-def _kernel(pos_ref, q_ref, k_ref, v_ref, mk_ref, mv_ref,
-            o_ref, m_ref, l_ref, acc_ref, *,
-            R: int, bR: int, nkb: int, window_keys: int, M: int,
-            scale: float):
+def _kernel(pos_ref, q_ref, k_ref, v_ref, *rest, R: int, bR: int,
+            nkb: int, window_keys: int, M: int, scale: float,
+            quantized: bool):
+    if quantized:
+        (ks_ref, vs_ref, mk_ref, mv_ref,
+         o_ref, m_ref, l_ref, acc_ref) = rest
+    else:
+        mk_ref, mv_ref, o_ref, m_ref, l_ref, acc_ref = rest
     s = pl.program_id(0)
     j = pl.program_id(2)
     p = pos_ref[s]
@@ -56,6 +60,12 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, mk_ref, mv_ref,
     sr = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)               # [rep, bR]
+    if quantized:
+        # int8 ring entries: apply the per-(head, position) K scale to the
+        # score row (cheaper than dequantizing the [bR, D] tile), and
+        # dequantize V before the PV matmul
+        sr = sr * ks_ref[0, 0][None, :]
+        v = v.astype(jnp.float32) * vs_ref[0, 0][:, None]
 
     idx = j * bR + jax.lax.broadcasted_iota(jnp.int32, (1, bR), 1)
     k_pos = p - jnp.mod(p - idx, R)
@@ -84,7 +94,7 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, mk_ref, mv_ref,
                    static_argnames=("window_keys", "scale", "bR"))
 def fused_decode_attention_pallas(
     q: jax.Array,          # [S, Hq, D]
-    ring_k: jax.Array,     # [S, Hkv, R, D]
+    ring_k: jax.Array,     # [S, Hkv, R, D] bf16 or int8
     ring_v: jax.Array,
     positions: jax.Array,  # [S] int32
     window_keys: int,
@@ -92,6 +102,8 @@ def fused_decode_attention_pallas(
     meta_v: Optional[jax.Array] = None,
     scale: Optional[float] = None,
     bR: int = 2048,
+    k_scale: Optional[jax.Array] = None,  # [S, Hkv, R] f32 (int8 rings)
+    v_scale: Optional[jax.Array] = None,
 ) -> jax.Array:
     S, Hq, D = q.shape
     Hkv, R = ring_k.shape[1], ring_k.shape[2]
@@ -101,6 +113,7 @@ def fused_decode_attention_pallas(
     bR = min(bR, R)
     assert R % bR == 0, (R, bR)
     nkb = R // bR
+    quantized = ring_k.dtype == jnp.int8
 
     if meta_k is None:
         M = 0
@@ -113,16 +126,31 @@ def fused_decode_attention_pallas(
 
     q4 = q.reshape(S, Hkv, rep, D)
 
+    ring_specs = [
+        pl.BlockSpec((1, 1, bR, D), lambda s, g, j, pos: (s, g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bR, D), lambda s, g, j, pos: (s, g, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    operands = [q4, ring_k, ring_v]
+    if quantized:
+        ring_specs.append(pl.BlockSpec(
+            (1, 1, bR), lambda s, g, j, pos: (s, g, j),
+            memory_space=pltpu.VMEM))
+        ring_specs.append(pl.BlockSpec(
+            (1, 1, bR), lambda s, g, j, pos: (s, g, j),
+            memory_space=pltpu.VMEM))
+        operands += [k_scale.astype(jnp.float32),
+                     v_scale.astype(jnp.float32)]
+    operands += [mk, mv]
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S, Hkv, nkb),
         in_specs=[
             pl.BlockSpec((1, 1, rep, D), lambda s, g, j, pos: (s, g, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bR, D), lambda s, g, j, pos: (s, g, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bR, D), lambda s, g, j, pos: (s, g, j, 0),
-                         memory_space=pltpu.VMEM),
+            *ring_specs,
             pl.BlockSpec((1, mk.shape[1], D), lambda s, g, j, pos: (g, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, mk.shape[1], D), lambda s, g, j, pos: (g, 0, 0),
@@ -139,36 +167,47 @@ def fused_decode_attention_pallas(
     )
 
     kern = functools.partial(_kernel, R=R, bR=bR, nkb=nkb,
-                             window_keys=window_keys, M=M, scale=scale)
+                             window_keys=window_keys, M=M, scale=scale,
+                             quantized=quantized)
 
     out = pl.pallas_call(
         kern,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((S, Hkv, rep, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, Hkv, rep, D),
+                                       jnp.bfloat16 if quantized
+                                       else q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * S * Hq * (R + M) * D,
             bytes_accessed=S * Hkv * R * D * 2 * 2,
             transcendentals=2 * S * Hq * (R + M)),
-    )(positions.astype(jnp.int32), q4, ring_k, ring_v, mk, mv)
+    )(positions.astype(jnp.int32), *operands)
     return out.reshape(S, Hq, D)
 
 
 def fused_decode_attention(q, ring_k, ring_v, positions, window_keys,
-                           meta_k=None, meta_v=None, scale=None):
-    """Dispatcher: Pallas on TPU (bf16 rings), jnp composition elsewhere.
-    Returns out [S, Hq, D] fp32."""
+                           meta_k=None, meta_v=None, scale=None,
+                           k_scale=None, v_scale=None):
+    """Dispatcher: Pallas on TPU (bf16 or int8 rings), jnp composition
+    elsewhere.  Returns out [S, Hq, D] fp32."""
     from vllm_hymeta_tpu.ops import swa
     on_tpu = jax.default_backend() in ("tpu", "axon")
     R = ring_k.shape[2]
     bR = max((b for b in range(128, 2048 + 1, 128) if R % b == 0),
              default=0)
-    if on_tpu and ring_k.dtype == jnp.bfloat16 and bR:
+    if on_tpu and bR and (
+            ring_k.dtype == jnp.bfloat16
+            or (ring_k.dtype == jnp.int8 and k_scale is not None)):
         out = fused_decode_attention_pallas(
             q, ring_k, ring_v, positions, window_keys, meta_k, meta_v,
-            scale, bR=bR)
+            scale, bR=bR, k_scale=k_scale, v_scale=v_scale)
         return out.astype(jnp.float32)
+    if ring_k.dtype == jnp.int8:
+        ring_k = ring_k.astype(jnp.bfloat16) \
+            * k_scale[..., None].astype(jnp.bfloat16)
+        ring_v = ring_v.astype(jnp.bfloat16) \
+            * v_scale[..., None].astype(jnp.bfloat16)
     out1, lse1 = swa.swa_decode(q, ring_k, ring_v, positions, window_keys,
                                 scale)
     if meta_k is None:

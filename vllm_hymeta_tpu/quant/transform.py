@@ -127,6 +127,27 @@ def quantize_params_gptq(params: dict, bits: int = 4, group_size: int = 64,
     return out
 
 
+def quantize_lm_head(params: dict) -> dict:
+    """OPTIONAL int8 LM head (per-output-channel symmetric, same layout as
+    W8A8 linears).  The reference always excludes lm_head from quantization
+    (`hf_model/quant_w8a8.py:96`) and upcasts it to fp32
+    (`modeling_hymeta.py:1459-1469`) — this is an extra serving knob for
+    bandwidth-bound decode, where the bf16 head is ~14% of per-step HBM
+    traffic on the 7B.  Top-1 agreement vs the bf16 head is property-tested
+    (tests/test_quant.py); off by default everywhere but the bench.
+    """
+    import copy
+    out = copy.deepcopy(jax.tree.map(lambda x: x, params))
+    head = out.get("lm_head")
+    if head is None or "w" not in head:
+        return out
+    wf = head["w"].astype(jnp.float32)
+    scale = jnp.maximum(jnp.max(jnp.abs(wf), axis=0), 1e-8) / 127.0
+    qw = jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8)
+    out["lm_head"] = {"qw": qw, "w_scale": scale}
+    return out
+
+
 def attach_prefill_int8(params: dict) -> dict:
     """Dual-precision serving layout: alongside each packed-INT4 tensor,
     store an INT8 per-channel requantization of the SAME dequantized
