@@ -61,6 +61,66 @@ class TestInt8KV:
                                    atol=2 * 2 / 127 + 1e-3)
 
 
+class TestPartialChunkRing:
+    """Regression: a padded prefill chunk whose bucket exceeds the ring
+    must still write its valid tokens (the overwrite-drop rule has to key
+    off the last *valid* position, not the padded tail)."""
+
+    def test_partial_chunk_bucket_exceeds_ring(self):
+        # repro from the round-2 verdict: R=128, T=256, n_valid=100
+        # previously wrote 0 of 100 entries.
+        Hkv, D, R, T, n_valid = 2, 8, 128, 256, 100
+        cc = cache_lib.CacheConfig(max_num_seqs=1, max_model_len=R)
+        lc = cache_lib.init_layer_kv(cc, Hkv, D, R)
+        k = jax.random.normal(jax.random.PRNGKey(0), (T, Hkv, D))
+        v = jax.random.normal(jax.random.PRNGKey(1), (T, Hkv, D))
+        positions = jnp.arange(T)          # engine pads with pos0+arange
+        valid = jnp.arange(T) < n_valid
+        lc = cache_lib.write_prefill_kv(lc, jnp.int32(0), k, v,
+                                        positions, valid)
+        got = np.asarray(lc["k"][0])       # [Hkv, R, D]
+        want = np.swapaxes(np.asarray(k[:n_valid], np.float32), 0, 1)
+        np.testing.assert_allclose(got[:, :n_valid].astype(np.float32),
+                                   want.astype(np.float32), atol=1e-2)
+        # nothing else written
+        assert np.all(got[:, n_valid:] == 0)
+
+    def test_valid_exceeds_ring_keeps_last_R(self):
+        Hkv, D, R, T, n_valid = 1, 4, 128, 256, 200
+        cc = cache_lib.CacheConfig(max_num_seqs=1, max_model_len=R)
+        lc = cache_lib.init_layer_kv(cc, Hkv, D, R)
+        k = jnp.arange(T, dtype=jnp.float32)[:, None, None].repeat(
+            Hkv, 1).repeat(D, 2)
+        lc = cache_lib.write_prefill_kv(lc, jnp.int32(0), k, k,
+                                        jnp.arange(T),
+                                        jnp.arange(T) < n_valid)
+        got = np.asarray(lc["k"][0, 0, :, 0])   # ring values by index
+        # the last R valid positions (72..199) live at p mod R
+        for p in range(n_valid - R, n_valid):
+            assert got[p % R] == p, (p, got[p % R])
+
+    def test_engine_chunk_exceeds_ring_matches_small_chunk(self):
+        """Engine-level: prefill_chunk > ring with a partial final chunk
+        generates token-identically to a sub-ring chunk size (the shipped
+        7B default is chunk 8192 > ring 4224 — this shape silently
+        corrupted generations before the fix)."""
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        cfg = tiny_glaswa()                  # window_keys=9 -> ring 128
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(5),
+                                     dtype=jnp.float32)
+        prompt = np.random.RandomState(0).randint(
+            0, cfg.vocab_size, size=356).tolist()   # final chunk n_valid=100
+        sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
+        outs = []
+        for chunk in (256, 64):
+            eng = Engine(cfg, params, EngineConfig(
+                max_num_seqs=2, max_model_len=512, prefill_chunk=chunk,
+                prefill_buckets=(chunk,)))
+            outs.append(eng.generate([prompt], sp)[0].output)
+        assert outs[0] == outs[1], outs
+
+
 class TestLongContext:
     def test_ring_wraparound_beyond_window(self):
         """Generate far past the window: decode attention must exactly

@@ -105,8 +105,17 @@ def write_prefill_kv(layer_cache: dict, slot: jax.Array,
     S, Hkv, R, D = layer_cache["k"].shape
     T = k.shape[0]
     idx = jnp.mod(positions, R)
-    # drop tokens that a later token in this same chunk would overwrite
-    keep = valid & (positions >= positions[-1] - (R - 1)) if T > R else valid
+    if T > R:
+        # Drop tokens that a later token in this same chunk would overwrite.
+        # The chunk may be padded (valid=False tail with garbage positions),
+        # so anchor on the last *valid* position, not positions[-1]
+        # (using the padded tail dropped every write for partially-filled
+        # buckets — corrupting any prompt whose final chunk had
+        # R < n_valid < T valid tokens).
+        last_valid_pos = jnp.max(jnp.where(valid, positions, -1))
+        keep = valid & (positions >= last_valid_pos - (R - 1))
+    else:
+        keep = valid
     keep = keep & enable
     # route dropped writes to a scratch row (index R) then slice off
     idx = jnp.where(keep, idx, R)
