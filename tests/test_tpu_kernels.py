@@ -201,6 +201,38 @@ def test_fused_decode_attention_int8_ring():
     assert _rms(out, ref.astype(out.dtype)) < 2e-2
 
 
+def test_fused_decode_attention_int8_ring_with_meta():
+    """INT8 ring + metatoken block folded into j==0 — the exact shape the
+    hymeta decode path dispatches (models/hymeta.py decode with a
+    quantized ring)."""
+    from vllm_hymeta_tpu import cache as cache_lib
+    from vllm_hymeta_tpu.ops import swa
+    from vllm_hymeta_tpu.ops.swa_decode_pallas import fused_decode_attention
+    key = jax.random.PRNGKey(12)
+    S, Hq, Hkv, D, R, W, M = 4, 4, 2, 128, 2048, 1024, 128
+    q = jax.random.normal(key, (S, Hq, D), jnp.bfloat16)
+    rk = jax.random.normal(jax.random.fold_in(key, 1), (S, Hkv, R, D),
+                           jnp.bfloat16)
+    rv = jax.random.normal(jax.random.fold_in(key, 2), (S, Hkv, R, D),
+                           jnp.bfloat16)
+    mk = jax.random.normal(jax.random.fold_in(key, 3), (M, Hkv, D),
+                           jnp.bfloat16)
+    mv = jax.random.normal(jax.random.fold_in(key, 4), (M, Hkv, D),
+                           jnp.bfloat16)
+    qk, ks = cache_lib.quantize_kv(rk)
+    qv, vs = cache_lib.quantize_kv(rv)
+    positions = jnp.array([5, 900, 2047, 4000], jnp.int32)
+    out = fused_decode_attention(q, qk, qv, positions, W,
+                                 meta_k=mk, meta_v=mv,
+                                 k_scale=ks, v_scale=vs)
+    dk = qk.astype(jnp.bfloat16) * ks[..., None].astype(jnp.bfloat16)
+    dv = qv.astype(jnp.bfloat16) * vs[..., None].astype(jnp.bfloat16)
+    o1, l1 = swa.swa_decode(q, dk, dv, positions, W)
+    o2, l2 = swa.meta_decode(q, mk, mv)
+    ref, _ = swa.merge_two(o1, l1, o2, l2)
+    assert _rms(out, ref.astype(out.dtype)) < 2e-2
+
+
 # ---------------------------------------------------------------------------
 # on-chip model consistency: serving path (real kernels) vs golden forward
 # ---------------------------------------------------------------------------

@@ -61,11 +61,15 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, *rest, R: int, bR: int,
         q, k, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)               # [rep, bR]
     if quantized:
-        # int8 ring entries: apply the per-(head, position) K scale to the
-        # score row (cheaper than dequantizing the [bR, D] tile), and
-        # dequantize V before the PV matmul
-        sr = sr * ks_ref[0, 0][None, :]
-        v = v.astype(jnp.float32) * vs_ref[0, 0][:, None]
+        # int8 ring entries: per-(head, position) scales ride in as
+        # [Hkv, bR] tiles (full-head blocks — a (1, bR) block violates the
+        # TPU (8, 128) tiling rule); slice this head's row.  K scale
+        # multiplies the score row; the V scale is folded into the
+        # probability row below ((p*vs) @ v == p @ diag(vs) v), which
+        # avoids a lane->sublane transpose of the scale vector.
+        g = pl.program_id(1)
+        sr = sr * ks_ref[0, pl.ds(g, 1), :]               # [1, bR] bcast
+        vs_row = vs_ref[0, pl.ds(g, 1), :]                # [1, bR]
 
     idx = j * bR + jax.lax.broadcasted_iota(jnp.int32, (1, bR), 1)
     k_pos = p - jnp.mod(p - idx, R)
@@ -80,8 +84,13 @@ def _kernel(pos_ref, q_ref, k_ref, v_ref, *rest, R: int, bR: int,
     alpha = jnp.exp(m_prev - m_new)
     pr = jnp.exp(sr - m_new)
     l_ref[:] = l_ref[:] * alpha + jnp.sum(pr, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
-        pr.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    if quantized:
+        pv = jax.lax.dot(pr * vs_row, v.astype(jnp.float32),
+                         preferred_element_type=jnp.float32)
+    else:
+        pv = jax.lax.dot(pr.astype(v.dtype), v,
+                         preferred_element_type=jnp.float32)
+    acc_ref[:] = acc_ref[:] * alpha + pv
     m_ref[:] = m_new
 
     @pl.when(j == nkb - 1)
@@ -134,11 +143,14 @@ def fused_decode_attention_pallas(
     ]
     operands = [q4, ring_k, ring_v]
     if quantized:
+        # full-Hkv blocks: (1, 1, bR) would put a size-1 tile on the
+        # second-to-last dim (array dim Hkv) — illegal on TPU; the kernel
+        # slices its head's row
         ring_specs.append(pl.BlockSpec(
-            (1, 1, bR), lambda s, g, j, pos: (s, g, j),
+            (1, Hkv, bR), lambda s, g, j, pos: (s, 0, j),
             memory_space=pltpu.VMEM))
         ring_specs.append(pl.BlockSpec(
-            (1, 1, bR), lambda s, g, j, pos: (s, g, j),
+            (1, Hkv, bR), lambda s, g, j, pos: (s, 0, j),
             memory_space=pltpu.VMEM))
         operands += [k_scale.astype(jnp.float32),
                      v_scale.astype(jnp.float32)]
@@ -180,7 +192,8 @@ def fused_decode_attention_pallas(
             dimension_semantics=("parallel", "parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=4 * S * Hq * (R + M) * D,
-            bytes_accessed=S * Hkv * R * D * 2 * 2,
+            bytes_accessed=(S * Hkv * R * D * 2 * ring_k.dtype.itemsize
+                            + (S * Hkv * R * 4 * 2 if quantized else 0)),
             transcendentals=2 * S * Hq * (R + M)),
     )(positions.astype(jnp.int32), *operands)
     return out.reshape(S, Hq, D)
@@ -192,6 +205,10 @@ def fused_decode_attention(q, ring_k, ring_v, positions, window_keys,
     """Dispatcher: Pallas on TPU (bf16 or int8 rings), jnp composition
     elsewhere.  Returns out [S, Hq, D] fp32."""
     from vllm_hymeta_tpu.ops import swa
+    if ring_k.dtype == jnp.int8:
+        assert k_scale is not None and v_scale is not None, (
+            "int8 ring requires both k_scale and v_scale "
+            "(per-(head, position) dequant scales)")
     on_tpu = jax.default_backend() in ("tpu", "axon")
     R = ring_k.shape[2]
     bR = max((b for b in range(128, 2048 + 1, 128) if R % b == 0),
