@@ -1,5 +1,6 @@
-"""Quantized checkpoint I/O: save/load round trip; synthetic GPTQ
-checkpoint ingestion end-to-end."""
+"""Quantized checkpoint I/O: save/load round trip; synthetic GPTQ and
+compressed-tensors (llmcompressor W8A8) checkpoint ingestion end-to-end;
+dense 70B-schema HF checkpoint ingestion."""
 
 import json
 import os
@@ -8,12 +9,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from vllm_hymeta_tpu.models import gla_swa
+from vllm_hymeta_tpu.models import gla_swa, hymeta
 from vllm_hymeta_tpu.quant import quantize_params_w8a8
 from vllm_hymeta_tpu.quant import gptq_reader
-from vllm_hymeta_tpu.quant.io import (load_gptq_checkpoint, load_quantized,
+from vllm_hymeta_tpu.quant.io import (is_compressed_tensors_checkpoint,
+                                      load_compressed_w8a8_checkpoint,
+                                      load_gptq_checkpoint, load_quantized,
                                       save_quantized)
-from tests.test_models import tiny_glaswa
+from tests.test_models import tiny_glaswa, tiny_hymeta
 
 
 class TestQuantIO:
@@ -111,3 +114,199 @@ class TestQuantIO:
         corr = np.corrcoef(np.asarray(l0[0, -1]),
                            np.asarray(l1[0, -1]))[0, 1]
         assert corr > 0.99
+
+
+def _glaswa_dense_tensors(params):
+    """Serialize a gla_swa param tree into the HF 7B name schema
+    (`model_for_7B/modeling_gla_swa.py:640-700`; torch [out, in] layout)."""
+    T = lambda a: np.ascontiguousarray(np.asarray(a, np.float32).T)
+    A = lambda a: np.asarray(a, np.float32)
+    tensors = {
+        "model.embeddings.weight": A(params["embed"]["w"]),
+        "model.norm.weight": A(params["final_norm"]["w"]),
+        "lm_head.weight": T(params["lm_head"]["w"]),
+    }
+    for i, lp in enumerate(params["layers"]):
+        L = f"model.layers.{i}"
+        tensors[f"{L}.attn_norm.weight"] = A(lp["attn_norm"]["w"])
+        tensors[f"{L}.mlp_norm.weight"] = A(lp["mlp_norm"]["w"])
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            tensors[f"{L}.mlp.{proj}.weight"] = T(lp["mlp"][proj]["w"])
+        ap = lp["attn"]
+        for proj in ("q_proj", "k_proj", "v_proj"):
+            tensors[f"{L}.attn.{proj}.weight"] = T(ap[proj]["w"])
+            tensors[f"{L}.attn.{proj}.bias"] = A(ap[proj]["b"])
+        tensors[f"{L}.attn.o_proj.weight"] = T(ap["o_proj"]["w"])
+        if "gk_a" in ap:
+            tensors[f"{L}.attn.gk_proj.0.weight"] = T(ap["gk_a"]["w"])
+            tensors[f"{L}.attn.gk_proj.1.weight"] = T(ap["gk_b"]["w"])
+            tensors[f"{L}.attn.gk_proj.1.bias"] = A(ap["gk_b"]["b"])
+            tensors[f"{L}.attn.g_norm.weight"] = A(ap["g_norm"]["w"])
+    return tensors
+
+
+class TestCompressedTensorsW8A8:
+    def test_w8a8_checkpoint_ingestion(self, tmp_path):
+        """Synthetic llmcompressor int-quantized checkpoint: int8 [N, K]
+        weight + per-channel weight_scale per Linear. The loader must
+        install qw/w_scale EXACTLY (no RTN re-quantization) and route the
+        dense remainder normally."""
+        from safetensors.numpy import save_file
+        cfg = tiny_glaswa(num_hidden_layers=2)
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(3),
+                                     dtype=jnp.float32)
+        tensors = _glaswa_dense_tensors(params)
+
+        # quantize every mlp + attention projection the way llmcompressor
+        # saves them: int8 weight (torch [N, K]) + weight_scale [N, 1]
+        q_prefixes = []
+        for i in range(cfg.num_hidden_layers):
+            L = f"model.layers.{i}"
+            for mod in ("mlp.gate_proj", "mlp.up_proj", "mlp.down_proj",
+                        "attn.q_proj", "attn.k_proj", "attn.v_proj",
+                        "attn.o_proj"):
+                q_prefixes.append(f"{L}.{mod}")
+        offline = {}
+        for pfx in q_prefixes:
+            w = tensors[pfx + ".weight"]              # [N, K] fp32
+            scale = np.maximum(np.abs(w).max(axis=1, keepdims=True),
+                               1e-8) / 127.0          # [N, 1]
+            qw = np.clip(np.round(w / scale), -127, 127).astype(np.int8)
+            tensors[pfx + ".weight"] = qw
+            tensors[pfx + ".weight_scale"] = scale.astype(np.float32)
+            tensors[pfx + ".weight_zero_point"] = np.zeros(
+                (w.shape[0], 1), np.int8)
+            offline[pfx] = (qw, scale[:, 0])
+
+        ckpt = tmp_path / "w8a8"
+        os.makedirs(ckpt)
+        save_file(tensors, str(ckpt / "model.safetensors"))
+        with open(ckpt / "config.json", "w") as f:
+            json.dump({"model_type": "gla_swa",
+                       "quantization_config": {
+                           "quant_method": "compressed-tensors",
+                           "format": "int-quantized",
+                           "config_groups": {"group_0": {
+                               "weights": {"num_bits": 8, "symmetric": True,
+                                           "strategy": "channel"},
+                               "input_activations": {
+                                   "num_bits": 8, "dynamic": True,
+                                   "strategy": "token"}}}}}, f)
+
+        assert is_compressed_tensors_checkpoint(str(ckpt))
+        loaded = load_compressed_w8a8_checkpoint(cfg, str(ckpt),
+                                                 dtype=jnp.float32)
+        # exact scale/weight preservation (q_proj layer 0 spot + all)
+        for pfx, (qw, sc) in offline.items():
+            parts = pfx.split(".")
+            d = loaded["layers"][int(parts[2])]
+            for k in parts[3:]:
+                d = d[k]
+            assert "w" not in d and "qw" in d
+            np.testing.assert_array_equal(np.asarray(d["qw"]), qw.T)
+            np.testing.assert_allclose(np.asarray(d["w_scale"]), sc,
+                                       rtol=1e-6)
+        # biases + unquantized modules still dense
+        assert "b" in loaded["layers"][0]["attn"]["q_proj"]
+        assert "w" in loaded["layers"][0]["attn"]["gk_a"]
+        # end-to-end: logits track the bf16 model within int8 noise
+        toks = jax.random.randint(jax.random.PRNGKey(4), (1, 12), 0,
+                                  cfg.vocab_size)
+        l0 = gla_swa.forward_full(cfg, params, toks)
+        l1 = gla_swa.forward_full(cfg, loaded, toks)
+        corr = np.corrcoef(np.asarray(l0[0, -1]),
+                           np.asarray(l1[0, -1]))[0, 1]
+        assert corr > 0.99
+
+
+class TestDenseHymetaIngestion:
+    def test_70b_schema_checkpoint(self, tmp_path):
+        """Synthetic 2-layer 70B-schema checkpoint covering every
+        _route_hymeta branch: expert stacking, the `mode.` typo repair,
+        biases, branch q/k/v routing, shared_mlp, MoE gate, meta tensors,
+        fp32 lm_head (schema per `/root/reference/70weight.txt` and
+        `modeling_hymeta.py:1487-1691`)."""
+        from safetensors.numpy import save_file
+        from vllm_hymeta_tpu.weights import load_checkpoint
+        cfg = tiny_hymeta(num_hidden_layers=2, full_attn_layers=[1],
+                          dense_mlp_layers=[0])
+        k = jax.random.PRNGKey(7)
+        params = hymeta.init_params(cfg, k, dtype=jnp.float32)
+        # randomize norms so routing (not the skeleton's ones-init) is
+        # what the equality check proves
+        def _rand_norms(t, key=[k]):
+            key[0], sub = jax.random.split(key[0])
+            return t + jax.random.normal(sub, t.shape) * 0.1
+        for lp in params["layers"]:
+            for nm in ("attn_norm", "mlp_norm"):
+                lp[nm]["w"] = _rand_norms(lp[nm]["w"])
+            for nm in ("norm1", "norm2"):
+                lp["attn"][nm]["w"] = _rand_norms(lp["attn"][nm]["w"])
+        params["final_norm"]["w"] = _rand_norms(params["final_norm"]["w"])
+        if cfg.use_lower_bound:
+            params["lower_bounds"] = _rand_norms(params["lower_bounds"])
+
+        T = lambda a: np.ascontiguousarray(np.asarray(a, np.float32).T)
+        A = lambda a: np.asarray(a, np.float32)
+        tensors = {
+            "model.embeddings.weight": A(params["embed"]["w"]),
+            "model.meta_tokens": A(params["meta_tokens"]),
+            # exercise the checkpoint-typo repair (`modeling_hymeta.py:
+            # 1670-1671`): "mode." must load as "model."
+            "mode.norm.weight": A(params["final_norm"]["w"]),
+            "lm_head.weight": T(params["lm_head"]["w"]),
+        }
+        if cfg.use_lower_bound:
+            tensors["model.lower_bounds"] = A(params["lower_bounds"])
+        for i, lp in enumerate(params["layers"]):
+            L = f"model.layers.{i}"
+            tensors[f"{L}.attn_norm.weight"] = A(lp["attn_norm"]["w"])
+            tensors[f"{L}.mlp_norm.weight"] = A(lp["mlp_norm"]["w"])
+            ap = lp["attn"]
+            tensors[f"{L}.attn.norm1.weight"] = A(ap["norm1"]["w"])
+            tensors[f"{L}.attn.norm2.weight"] = A(ap["norm2"]["w"])
+            tensors[f"{L}.attn.out_proj.weight"] = T(ap["out_proj"]["w"])
+            for branch, key_ in (("vanilla_attn", "swa"),
+                                 ("linear_attn", "gla")):
+                for proj in ("q_proj", "k_proj", "v_proj"):
+                    tensors[f"{L}.attn.{branch}.{proj}.weight"] = \
+                        T(ap[key_][proj]["w"])
+                    tensors[f"{L}.attn.{branch}.{proj}.bias"] = \
+                        A(ap[key_][proj]["b"])
+            if "mlp" in lp:
+                for proj in ("gate_proj", "up_proj", "down_proj"):
+                    tensors[f"{L}.mlp.{proj}.weight"] = \
+                        T(lp["mlp"][proj]["w"])
+            else:
+                tensors[f"{L}.block_sparse_moe.gate.weight"] = \
+                    T(lp["moe"]["gate"]["w"])
+                E = lp["moe"]["experts"]["gate_proj"].shape[0]
+                for e in range(E):
+                    for proj in ("gate_proj", "up_proj", "down_proj"):
+                        tensors[
+                            f"{L}.block_sparse_moe.experts.{e}"
+                            f".{proj}.weight"] = \
+                            T(lp["moe"]["experts"][proj][e])
+                if "shared_mlp" in lp:
+                    for proj in ("gate_proj", "up_proj", "down_proj"):
+                        tensors[f"{L}.shared_mlp.{proj}.weight"] = \
+                            T(lp["shared_mlp"][proj]["w"])
+
+        ckpt = tmp_path / "hy"
+        os.makedirs(ckpt)
+        save_file(tensors, str(ckpt / "model.safetensors"))
+
+        loaded = load_checkpoint(cfg, str(ckpt), dtype=jnp.float32)
+        # every leaf identical to the source tree -> every route covered
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                atol=1e-6),
+            params, loaded)
+        # and the golden forward agrees exactly
+        toks = jax.random.randint(jax.random.PRNGKey(8), (1, 9), 0,
+                                  cfg.vocab_size)
+        np.testing.assert_allclose(
+            np.asarray(hymeta.forward_full(cfg, params, toks)),
+            np.asarray(hymeta.forward_full(cfg, loaded, toks)),
+            atol=1e-5, rtol=1e-5)

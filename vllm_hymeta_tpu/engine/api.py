@@ -28,8 +28,19 @@ class LLM:
                  tokenizer: Optional[object] = None,
                  seed: int = 0):
         from vllm_hymeta_tpu import weights as weights_lib
+        from vllm_hymeta_tpu.quant import io as quant_io
         self.cfg = load_config(model)
-        self.params = weights_lib.load_checkpoint(self.cfg, model, dtype=dtype)
+        # quantized checkpoints load through their dedicated readers,
+        # preserving their calibrated scales (no RTN re-quantization)
+        if quant_io.is_compressed_tensors_checkpoint(model):
+            self.params = quant_io.load_compressed_w8a8_checkpoint(
+                self.cfg, model, dtype=dtype)
+        elif quant_io.is_gptq_checkpoint(model):
+            self.params = quant_io.load_gptq_checkpoint(
+                self.cfg, model, dtype=dtype)
+        else:
+            self.params = weights_lib.load_checkpoint(
+                self.cfg, model, dtype=dtype)
         self.tokenizer = tokenizer
         if self.tokenizer is None:
             self.tokenizer = _try_load_tokenizer(model)

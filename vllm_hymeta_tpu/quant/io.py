@@ -90,6 +90,109 @@ def load_quantized(path: str) -> dict:
     return tree
 
 
+def is_gptq_checkpoint(path: str) -> bool:
+    """True when the checkpoint declares a gptq/AutoGPTQ quantization
+    (quantize_config.json, or config.json quant_method gptq)."""
+    if os.path.exists(os.path.join(path, "quantize_config.json")):
+        return True
+    p = os.path.join(path, "config.json")
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        qc = json.load(f).get("quantization_config", {})
+    return isinstance(qc, dict) and (
+        qc.get("quant_method") == "gptq" or "bits" in qc)
+
+
+def is_compressed_tensors_checkpoint(path: str) -> bool:
+    """True when config.json declares a compressed-tensors (llmcompressor)
+    quantization_config — the save format of the reference's W8A8 pipeline
+    (`hf_model/quant_w8a8.py:120-138`, GPTQModifier(scheme="W8A8") +
+    save_pretrained(save_compressed=True))."""
+    p = os.path.join(path, "config.json")
+    if not os.path.exists(p):
+        return False
+    with open(p) as f:
+        qc = json.load(f).get("quantization_config", {})
+    return isinstance(qc, dict) and qc.get("quant_method") in (
+        "compressed-tensors", "sparseml")
+
+
+def load_compressed_w8a8_checkpoint(cfg, path: str,
+                                    dtype=jnp.bfloat16) -> dict:
+    """Ingest a compressed-tensors W8A8 checkpoint (llmcompressor
+    `int-quantized` format) into the runtime W8A8 layout.
+
+    Checkpoint tensors per quantized Linear (torch [out, in] layout):
+      <name>.weight            : int8 [N, K]
+      <name>.weight_scale      : fp  [N, 1] (strategy "channel") or scalar
+      <name>.weight_zero_point : optional (symmetric scheme: all zeros)
+    Activations are dynamic per-token (nothing stored).  Runtime layout
+    (models/layers.linear dispatch): {"qw" int8 [K, N], "w_scale" [N]} —
+    scales preserved exactly, no RTN re-quantization.
+
+    Modules our runtime keeps dense (MoE expert stacks, anything the
+    name router can't place) are dequantized to `dtype` and routed through
+    the normal dense loader instead of being dropped.
+    """
+    groups: Dict[str, dict] = {}
+    dense = []
+    for name, arr in weights_lib._iter_checkpoint_tensors(path):
+        name = weights_lib._fix_name(name)
+        m = re.match(r"(.*)\.(weight_scale|weight_zero_point|weight_shape"
+                     r"|weight_g_idx|input_scale|input_zero_point)$", name)
+        if m:
+            groups.setdefault(m.group(1), {})[m.group(2)] = arr
+        elif name.endswith(".weight") and arr.dtype == np.int8:
+            groups.setdefault(name[: -len(".weight")], {})["weight"] = arr
+        else:
+            dense.append((name, arr))
+
+    from vllm_hymeta_tpu.config import HymetaConfig
+    is_hymeta = isinstance(cfg, HymetaConfig)
+    route = weights_lib._route_hymeta if is_hymeta \
+        else weights_lib._route_glaswa
+    expert_pat = re.compile(
+        r"model\.layers\.\d+\.block_sparse_moe\.experts\.\d+"
+        r"\.(gate_proj|up_proj|down_proj)")
+
+    quantized = {}
+    for prefix, g in groups.items():
+        if "weight" not in g or "weight_scale" not in g:
+            # scale-only leftovers (e.g. input_scale for a static scheme)
+            continue
+        w = g["weight"]                      # int8 [N, K]
+        scale = np.asarray(g["weight_scale"], np.float32).reshape(-1)
+        if scale.size == 1:                  # per-tensor -> broadcast
+            scale = np.full((w.shape[0],), float(scale[0]), np.float32)
+        zp = g.get("weight_zero_point")
+        if zp is not None and np.any(np.asarray(zp) != 0):
+            raise NotImplementedError(
+                f"{prefix}: asymmetric weight_zero_point unsupported "
+                "(reference W8A8 scheme is symmetric)")
+        r = route(cfg, prefix + ".weight")
+        if r is None or expert_pat.match(prefix):
+            # dense-only destination: dequantize and hand to the router
+            dense.append((prefix + ".weight",
+                          w.astype(np.float32) * scale[:, None]))
+            continue
+        quantized[prefix] = {
+            "qw": np.ascontiguousarray(w.T),          # [K, N] int8
+            "w_scale": scale,                          # [N]
+        }
+
+    params = weights_lib.load_checkpoint_tensors(cfg, dense, dtype=dtype)
+    for prefix, q in quantized.items():
+        path_keys, _, _ = route(cfg, prefix + ".weight")
+        d = params
+        for pk in path_keys[:-1]:
+            d = d[pk]
+        d.pop("w", None)
+        d["qw"] = jnp.asarray(q["qw"])
+        d["w_scale"] = jnp.asarray(q["w_scale"])
+    return params
+
+
 def load_gptq_checkpoint(cfg, path: str, dtype=jnp.bfloat16,
                          zero_offset: bool = False) -> dict:
     """Load a checkpoint containing gptqmodel packed tensors: for every

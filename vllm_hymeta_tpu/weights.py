@@ -73,6 +73,14 @@ def _set(params: dict, path: list, value):
 
 def load_checkpoint(cfg, path: str, dtype=jnp.bfloat16) -> dict:
     """Build the param pytree, routing each checkpoint tensor."""
+    return load_checkpoint_tensors(cfg, _iter_checkpoint_tensors(path),
+                                   dtype=dtype)
+
+
+def load_checkpoint_tensors(cfg, tensors, dtype=jnp.bfloat16) -> dict:
+    """Like load_checkpoint but over an iterable of (name, array) —
+    lets quantized-checkpoint readers route their dense remainder through
+    the same name schema."""
     from vllm_hymeta_tpu.models import get_model
     import jax
     model = get_model(cfg)
@@ -84,7 +92,7 @@ def load_checkpoint(cfg, path: str, dtype=jnp.bfloat16) -> dict:
     expert_pat = re.compile(
         r"model\.layers\.(\d+)\.block_sparse_moe\.experts\.(\d+)"
         r"\.(gate_proj|up_proj|down_proj)\.weight")
-    for name, arr in _iter_checkpoint_tensors(path):
+    for name, arr in tensors:
         name = _fix_name(name)
         if is_hymeta:
             me = expert_pat.match(name)
