@@ -66,6 +66,9 @@ def build_params(cfg, scheme: str, fuse: bool = True):
                 save_quantized(params, cache_dir)
             except Exception:
                 pass
+        if os.environ.get("BENCH_INT8_HEAD") == "1":
+            from vllm_hymeta_tpu.quant.transform import quantize_lm_head
+            params = quantize_lm_head(params)
         if fuse:
             params = common.fuse_params(cfg, params, tp=1)
     return jax.device_put(params, jax.devices()[0])

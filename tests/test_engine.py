@@ -99,6 +99,51 @@ class TestEngine:
         assert req.finish_reason == "stop"
         assert req.output[-1] == eos
 
+    def test_eos_with_chained_decode_blocks(self):
+        """decode_block > 1 with eos stopping ACTIVE: chained blocks must
+        emit token-identical output to decode_block=1 (the device-side
+        stop_on_eos mask makes chaining safe for real serving)."""
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(4),
+                                     dtype=jnp.float32)
+        prompt = list(np.random.RandomState(7).randint(0, 256, size=12))
+        # find a token greedy emits a few steps in, declare it eos
+        probe_eng = Engine(cfg, params, _ecfg())
+        [probe] = probe_eng.generate([prompt], SamplingParams(
+            temperature=0.0, max_tokens=10, ignore_eos=True))
+        eos = probe.output[5]
+        cfg2 = tiny_glaswa(eos_token_id=eos)
+        outs = {}
+        for db in (1, 4):
+            eng = Engine(cfg2, params, _ecfg(decode_block=db))
+            [req] = eng.generate([prompt], SamplingParams(
+                temperature=0.0, max_tokens=32))
+            assert req.finish_reason == "stop"
+            assert req.output[-1] == eos
+            outs[db] = req.output
+        assert outs[1] == outs[4], outs
+
+    def test_chaining_engages_without_ignore_eos(self):
+        """_can_speculate no longer requires ignore_eos: a lone eos-stopping
+        request must chain decode blocks (dispatch-before-harvest)."""
+        cfg = tiny_glaswa(eos_token_id=255)  # never sampled in practice
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(5),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg(decode_block=2))
+        chained = []
+        orig = eng._dispatch_decode
+
+        def spy(tokens, positions, active=None):
+            chained.append(active is not None)
+            return orig(tokens, positions, active)
+
+        eng._dispatch_decode = spy
+        [req] = eng.generate([[1, 2, 3]], SamplingParams(
+            temperature=0.0, max_tokens=24))
+        assert any(chained), "no chained dispatch happened"
+        # eos 255 is unlikely but legal under greedy random weights
+        assert len(req.output) == 24 or req.finish_reason == "stop"
+
 
 class TestSampler:
     def test_greedy(self):
@@ -115,6 +160,19 @@ class TestSampler:
                          jnp.ones((1,)), jnp.array([2], jnp.int32),
                          jnp.ones((1,)))
             assert int(ids[0]) in (0, 1)
+
+    def test_top_p_after_top_k_renormalization(self):
+        """vLLM semantics: top-p applies to the RENORMALIZED top-k
+        survivors.  Here the top-2 survivors have probs ~[0.52, 0.48], so
+        top_p=0.5 must keep only the argmax — computing the nucleus on the
+        pre-top-k distribution (where the tail mass deflates rank-0 below
+        0.5) would wrongly keep rank 1 too."""
+        logits = jnp.array([[2.0, 1.9] + [1.8] * 6])
+        for seed in range(20):
+            ids = sample(logits, jax.random.PRNGKey(seed),
+                         jnp.ones((1,)), jnp.array([2], jnp.int32),
+                         jnp.array([0.5]))
+            assert int(ids[0]) == 0, seed
 
     def test_top_p_restricts(self):
         logits = jnp.array([[10.0, 0.0, 0.0, 0.0]])
@@ -146,6 +204,25 @@ class TestBatchedPrefill:
                 _assert_greedy_consistent(cfg, gla_swa, params, prompt,
                                           req.output)
         assert outs[1] == outs[4]
+
+    def test_batched_prefill_hymeta_matches_single(self):
+        """70B-family grouped prefill (metatoken LSE merge + MoE batched
+        over B) must emit the same greedy tokens as per-request prefill."""
+        cfg = tiny_hymeta()
+        params = hymeta.init_params(cfg, jax.random.PRNGKey(6),
+                                    dtype=jnp.float32)
+        rs = np.random.RandomState(6)
+        prompts = [list(rs.randint(0, 256, size=n)) for n in (10, 8)]
+        sp = SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True)
+        outs = {}
+        for pb in (1, 2):
+            eng = Engine(cfg, params, _ecfg(prefill_batch=pb))
+            reqs = eng.generate(prompts, sp)
+            outs[pb] = [r.output for r in reqs]
+            for prompt, req in zip(prompts, reqs):
+                _assert_greedy_consistent(cfg, hymeta, params, prompt,
+                                          req.output)
+        assert outs[1] == outs[2]
 
     def test_batched_chunked_continuation(self):
         """Multi-chunk prompts still work through the batched path (the

@@ -52,6 +52,12 @@ class EngineConfig:
     # powers of two up to this) — large-M matmuls for short-prompt
     # serving; 1 disables
     prefill_batch: int = 8
+    # while decodes are in flight, cap prefill chunks at this many tokens
+    # so a long prompt can't stall active generations for a whole
+    # `prefill_chunk` step (the role of the reference's mixed
+    # [prefills | decodes] batches, `meta_attention.py:612-639`);
+    # 0 disables the cap
+    prefill_chunk_active: int = 1024
 
 
 @dataclasses.dataclass
@@ -126,6 +132,9 @@ class Engine:
             "top_p": jnp.ones((S,), jnp.float32),
             "rep_penalty": jnp.ones((S,), jnp.float32),
             "seen": jnp.zeros((S, cfg.vocab_size), jnp.bool_),
+            # on-device eos stop (lets decode blocks chain without a host
+            # round-trip even when requests stop at eos)
+            "stop_on_eos": jnp.zeros((S,), jnp.bool_),
         }
         # host mirrors
         self.positions = np.zeros((S,), np.int64)
@@ -136,9 +145,10 @@ class Engine:
         self._compiled_decode = None
         self._compiled_start = None
         self._last_was_prefill = False
-        # in-flight decode block: (was_active, ids_dev, dispatch_positions)
-        self._pending: Optional[Tuple[np.ndarray, jax.Array,
-                                      np.ndarray]] = None
+        # in-flight decode block:
+        # (was_active, ids_dev, active_dev, positions_dev)
+        self._pending: Optional[Tuple[np.ndarray, jax.Array, jax.Array,
+                                      jax.Array]] = None
 
     # ------------------------------------------------------------------ api
 
@@ -186,15 +196,21 @@ class Engine:
         return jfn
 
     def _prefill_batched_fn(self, bucket: int, B: int):
-        """B same-bucket request chunks in one program (gla_swa only;
-        single-device path)."""
+        """B same-bucket request chunks in one program (both model
+        families; single-device path)."""
         key_ = (bucket, B)
         if key_ in self._compiled_prefill_batched:
             return self._compiled_prefill_batched[key_]
 
-        def fn(params, cache, samp, tokens, slots, pos0, n_valid, key):
-            logits, cache = self.model.prefill_batched(
-                self.cfg, params, cache, tokens, slots, pos0, n_valid)
+        def fn(params, meta, cache, samp, tokens, slots, pos0, n_valid,
+               key):
+            if self.is_hymeta:
+                logits, cache = self.model.prefill_batched(
+                    self.cfg, params, meta, cache, tokens, slots, pos0,
+                    n_valid)
+            else:
+                logits, cache = self.model.prefill_batched(
+                    self.cfg, params, cache, tokens, slots, pos0, n_valid)
             lg = logits.astype(jnp.float32)                 # [B, V]
             lg = sampler_lib.apply_repetition_penalty(
                 lg, samp["seen"][slots], samp["rep_penalty"][slots])
@@ -203,7 +219,7 @@ class Engine:
                 samp["top_k"][slots], samp["top_p"][slots])
             return toks, cache
 
-        jfn = jax.jit(fn, donate_argnums=(1,))
+        jfn = jax.jit(fn, donate_argnums=(2,))
         self._compiled_prefill_batched[key_] = jfn
         return jfn
 
@@ -214,7 +230,7 @@ class Engine:
             return self._compiled_start
 
         def fn(cache, samp, meta, slot, temperature, top_k, top_p,
-               rep_penalty):
+               rep_penalty, stop_on_eos):
             layers = []
             for i, lc in enumerate(cache["layers"]):
                 lc = dict(lc)
@@ -230,6 +246,7 @@ class Engine:
                 "top_p": samp["top_p"].at[slot].set(top_p),
                 "rep_penalty": samp["rep_penalty"].at[slot].set(rep_penalty),
                 "seen": samp["seen"].at[slot].set(False),
+                "stop_on_eos": samp["stop_on_eos"].at[slot].set(stop_on_eos),
             }
             return {**cache, "layers": layers}, samp
 
@@ -268,23 +285,31 @@ class Engine:
                 jnp.where(active, True, seen_rows))
             return ids, cache, samp
 
+        eos_id = self.cfg.eos_token_id
+        if eos_id is None:
+            eos_id = -1  # never matches a sampled id
+
         def fn(params, meta, cache, samp, tokens, positions, active, key):
             S = tokens.shape[0]
             out0 = jnp.zeros((S, n_steps), jnp.int32)
 
             def body(i, carry):
-                tokens, positions, cache, samp, out = carry
+                tokens, positions, active, cache, samp, out = carry
                 ids, cache, samp = one_step(
                     params, meta, cache, samp, tokens, positions, active,
                     jax.random.fold_in(key, i))
                 out = out.at[:, i].set(ids)
                 positions = positions + active.astype(jnp.int32)
-                return (ids, positions, cache, samp, out)
+                # on-device eos stop: the eos token itself is emitted, then
+                # the slot goes inactive for the rest of this block AND any
+                # chained block (the host confirms at harvest)
+                active = active & ~(samp["stop_on_eos"] & (ids == eos_id))
+                return (ids, positions, active, cache, samp, out)
 
-            tokens, positions, cache, samp, out = jax.lax.fori_loop(
+            tokens, positions, active, cache, samp, out = jax.lax.fori_loop(
                 0, n_steps, body,
-                (tokens, positions, cache, samp, out0))
-            return out, cache, samp
+                (tokens, positions, active, cache, samp, out0))
+            return out, cache, samp, active, positions
 
         self._compiled_decode = jax.jit(fn, donate_argnums=(2, 3))
         return self._compiled_decode
@@ -297,6 +322,19 @@ class Engine:
                 return b
         return self.ecfg.prefill_buckets[-1]
 
+    def _chunk_cap(self) -> int:
+        """Prefill chunk cap for this step: full-size when nothing is
+        decoding, bounded while generations are in flight so their token
+        stalls stay ~prefill_chunk_active/prefill_chunk of a full chunk."""
+        cap = self.ecfg.prefill_chunk
+        if self.ecfg.prefill_chunk_active > 0 and any(self.active):
+            cap = min(cap, self.ecfg.prefill_chunk_active)
+            # snap down to a compiled bucket so the capped step really is
+            # cheaper (not a small n padded into a big bucket)
+            fitting = [b for b in self.ecfg.prefill_buckets if b <= cap]
+            cap = max(fitting) if fitting else min(self.ecfg.prefill_buckets)
+        return cap
+
     def _start_request(self, req: Request):
         slot = self.free_slots.popleft()
         req.slot = slot
@@ -307,7 +345,8 @@ class Engine:
         self.cache, self.samp_state = fn(
             self.cache, self.samp_state, self.meta, jnp.int32(slot),
             jnp.float32(p.temperature), jnp.int32(p.top_k),
-            jnp.float32(p.top_p), jnp.float32(p.repetition_penalty))
+            jnp.float32(p.top_p), jnp.float32(p.repetition_penalty),
+            jnp.bool_(not p.ignore_eos))
 
     def _finish(self, req: Request, reason: str):
         req.finished = True
@@ -318,23 +357,28 @@ class Engine:
 
     # ------------------------------------------------- decode pipelining
 
-    def _dispatch_decode(self, tokens, positions_np: np.ndarray):
-        """Launch one decode block asynchronously; tokens may be a host
-        array or a device array (speculative chaining)."""
+    def _dispatch_decode(self, tokens, positions, active=None):
+        """Launch one decode block asynchronously; tokens/positions/active
+        may be host arrays or device arrays from the previous block
+        (chaining — eos-stopped slots stay masked on device)."""
         self.rng, k = jax.random.split(self.rng)
         fn = self._decode_fn()
         was_active = self.active.copy()
-        ids, self.cache, self.samp_state = fn(
+        if active is None:
+            active = jnp.asarray(self.active)
+        if isinstance(positions, np.ndarray):
+            positions = jnp.asarray(positions.astype(np.int32))
+        ids, self.cache, self.samp_state, act_dev, pos_dev = fn(
             self.params, self.meta, self.cache, self.samp_state,
-            jnp.asarray(tokens),
-            jnp.asarray(positions_np.astype(np.int32)),
-            jnp.asarray(self.active), k)
-        self._pending = (was_active, ids, positions_np.copy())
+            jnp.asarray(tokens), positions, active, k)
+        self._pending = (was_active, ids, act_dev, pos_dev)
 
     def _can_speculate(self) -> bool:
         """True when the NEXT decode block can be dispatched before reading
-        the in-flight one: nothing in the pending or next block can finish
-        a request or change the schedule."""
+        the in-flight one.  Requests stopping at eos are fine — the device
+        masks their slot inactive inside the block (stop_on_eos), so a
+        chained block cannot corrupt them; the host just wastes the tail of
+        one block on a finished slot."""
         if self.waiting:
             return False
         B = self.ecfg.decode_block
@@ -342,8 +386,6 @@ class Engine:
             if req.prefill_done < len(req.prompt):
                 return False
             if not self.active[req.slot]:
-                return False
-            if not req.params.ignore_eos:
                 return False
             if len(req.output) + 2 * B > req.params.max_tokens:
                 return False
@@ -372,12 +414,10 @@ class Engine:
         # tokens, no host read) when safe, THEN block on the old results —
         # the device never idles on the host round-trip
         if self._pending is not None:
-            was_active, ids_dev, disp_pos = self._pending
+            was_active, ids_dev, act_dev, pos_dev = self._pending
             self._pending = None
             if self._can_speculate():
-                B = self.ecfg.decode_block
-                next_pos = disp_pos + B * was_active.astype(disp_pos.dtype)
-                self._dispatch_decode(ids_dev[:, -1], next_pos)
+                self._dispatch_decode(ids_dev[:, -1], pos_dev, act_dev)
             self._harvest(was_active, ids_dev, finished)
             return finished
 
@@ -405,14 +445,13 @@ class Engine:
             self._last_was_prefill = True
 
         # multi-request prefill: group same-bucket chunks into one step
-        # (powers of two up to prefill_batch; gla_swa single-device only)
+        # (powers of two up to prefill_batch; single-device path)
         if (pre is not None and len(pending) >= 2
-                and self.ecfg.prefill_batch > 1
-                and not self.is_hymeta and self.mesh is None):
+                and self.ecfg.prefill_batch > 1 and self.mesh is None):
+            cap = self._chunk_cap()
             by_bucket: Dict[int, List[Request]] = {}
             for r in pending:
-                n = min(len(r.prompt) - r.prefill_done,
-                        self.ecfg.prefill_chunk)
+                n = min(len(r.prompt) - r.prefill_done, cap)
                 by_bucket.setdefault(self._bucket_for(n), []).append(r)
             bucket, group = max(by_bucket.items(), key=lambda kv: len(kv[1]))
             if len(group) >= 2:
@@ -434,7 +473,7 @@ class Engine:
                 fn = self._prefill_batched_fn(bucket, B)
                 self.rng, k = jax.random.split(self.rng)
                 toks_dev, self.cache = fn(
-                    self.params, self.cache, self.samp_state,
+                    self.params, self.meta, self.cache, self.samp_state,
                     jnp.asarray(tokens), jnp.asarray(slots),
                     jnp.asarray(pos0), jnp.asarray(nval), k)
                 done_idx = []
@@ -453,7 +492,7 @@ class Engine:
 
         if pre is not None:
             n_left = len(pre.prompt) - pre.prefill_done
-            n = min(n_left, self.ecfg.prefill_chunk)
+            n = min(n_left, self._chunk_cap())
             bucket = self._bucket_for(n)
             toks = pre.prompt[pre.prefill_done:pre.prefill_done + n]
             tokens = np.zeros((bucket,), np.int32)

@@ -72,12 +72,17 @@ def sample(logits: jax.Array,        # [S, V] fp32
         kth = jnp.take_along_axis(sorted_desc, k_idx[:, None], axis=-1)
         masked = jnp.where(scaled < kth, NEG_INF, scaled)
 
-        # top-p (nucleus) on the surviving distribution
-        probs_sorted = jax.nn.softmax(sorted_desc, axis=-1)
+        # top-p (nucleus) AFTER top-k, on the renormalized survivor
+        # distribution (vLLM semantics: k first, then p over what's left)
+        rank = jax.lax.broadcasted_iota(jnp.int32, (S, V), 1)
+        keep_k = rank <= k_idx[:, None]
+        sorted_kmasked = jnp.where(keep_k, sorted_desc, NEG_INF)
+        probs_sorted = jax.nn.softmax(sorted_kmasked, axis=-1)
         cum = jnp.cumsum(probs_sorted, axis=-1)
         cutoff_rank = jnp.sum(cum < top_p[:, None], axis=-1)
         pth = jnp.take_along_axis(
-            sorted_desc, jnp.clip(cutoff_rank, 0, V - 1)[:, None], axis=-1)
+            sorted_kmasked, jnp.clip(cutoff_rank, 0, V - 1)[:, None],
+            axis=-1)
         masked = jnp.where(masked < pth, NEG_INF, masked)
 
         sampled = jax.random.categorical(key, masked, axis=-1)

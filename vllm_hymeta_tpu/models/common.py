@@ -250,9 +250,11 @@ def lm_head_gather(p: dict, x: jax.Array, pctx) -> jax.Array:
     layout from quant/transform.quantize_lm_head ("qw" + "w_scale")."""
     if "qw" in p:
         from vllm_hymeta_tpu.ops import quant_matmul
+        # out_dtype=fp32 so the scale multiply never rounds through bf16 —
+        # preserving the fp32-logit convention of the unquantized path
         y = quant_matmul.w8a8_matmul(
-            x.astype(jnp.bfloat16), p["qw"], p["w_scale"]
-        ).astype(jnp.float32)
+            x.astype(jnp.bfloat16), p["qw"], p["w_scale"],
+            out_dtype=jnp.float32)
     else:
         y = jnp.dot(x.astype(jnp.float32), p["w"].astype(jnp.float32),
                     preferred_element_type=jnp.float32)

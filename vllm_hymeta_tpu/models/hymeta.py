@@ -461,6 +461,97 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
     return logits, {"layers": new_layers}
 
 
+def prefill_batched(cfg: HymetaConfig, params: dict, meta: dict,
+                    cache: dict,
+                    tokens: jax.Array,    # [B, T] (padded)
+                    slots: jax.Array,     # [B] int32
+                    pos0: jax.Array,      # [B]
+                    n_valid: jax.Array,   # [B]
+                    ) -> Tuple[jax.Array, dict]:
+    """Multi-request 70B prefill: B same-bucket chunks in ONE step — the
+    projections, MoE and merges run at M = B*T rows (full MXU tiles), the
+    windowed pass is the batched splash kernel, and the metatoken pass +
+    LSE merge vectorize over B (role of the reference's mixed
+    [prefills | decodes] batches, `attention/meta_attention.py:612-639`).
+    Single-device path."""
+    B, T = tokens.shape
+    M = cfg.num_meta_tokens
+    lbs = lower_bound_table(cfg, params)
+    positions = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    rope_pos = positions + M
+    valid = jnp.arange(T)[None] < n_valid[:, None]            # [B, T]
+    x = common.embed_vp(params["embed"], tokens, NULL_CTX)    # [B, T, h]
+
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        window = cfg.layer_window(i)
+
+        # ---- SWA branch: batched windowed splash + metatoken LSE merge
+        swa_qkv, gla_qkv = _project_both(cfg, ap, y)
+        q, k, v = swa_qkv                                     # [B,T,*,D]
+        cos, sin = naive.rope_cos_sin(rope_pos, D, cfg.rope_theta)
+        q = naive.apply_rope(q, cos, sin)
+        k = naive.apply_rope(k, cos, sin)
+        ctx_k, ctx_v, ctx_pos = common.gather_ring_context_batched(
+            lc, slots, pos0)
+        R = ctx_k.shape[1]
+        k_all = jnp.concatenate([ctx_k, k], axis=1)
+        v_all = jnp.concatenate([ctx_v, v], axis=1)
+        qp = jnp.where(valid, positions, swa.INVALID_POS)
+        kp_all = jnp.concatenate([ctx_pos, qp], axis=1)
+        out1, lse1 = swa.splash_prefill_batched(
+            q, k_all, v_all, kp_all, window, ctx_len=R, need_lse=True,
+            mask_mode="window" if window > 0 else "causal")
+
+        def meta_pass(qb, qpb):
+            return swa.flash_window_prefill(
+                qb, meta["k"][i], meta["v"][i], qpb,
+                jnp.zeros((M,), jnp.int32), 0, mask_mode="all")
+        out2, lse2 = jax.vmap(meta_pass)(q, qp)
+        mo, _ = swa.merge_two(
+            jnp.swapaxes(out1, 1, 2).astype(jnp.float32), lse1,
+            jnp.swapaxes(out2, 1, 2).astype(jnp.float32), lse2)
+        swa_out = jnp.swapaxes(mo, 1, 2).astype(y.dtype)      # [B,T,H,D]
+        for b in range(B):
+            lc = cache_lib.write_prefill_kv(lc, slots[b], k[b], v[b],
+                                            positions[b], valid[b])
+
+        # ---- GLA branch (batched over B natively)
+        lb = _layer_lower_bound(cfg, lbs, i)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb, qkv=gla_qkv)
+        kg = jnp.where(valid[..., None, None], kg, 0.0)
+        vg = jnp.where(valid[..., None, None], vg, 0.0)
+        g = jnp.where(valid[..., None, None], g, 0.0)
+        S0 = lc["state"][slots].astype(jnp.float32)           # [B,H,D,D]
+        o, S = gla_chunk.gla_chunked(
+            qg.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
+            vg.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3),
+            initial_state=S0)
+        gla_out = o.transpose(0, 2, 1, 3)
+        lc = dict(lc)
+        lc["state"] = lc["state"].at[slots].set(
+            S.astype(lc["state"].dtype))
+        new_layers.append(lc)
+
+        att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
+                            common.merge_heads(gla_out))
+        y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                          cfg.norm_eps)
+        x = res + _ffn(cfg, lp, y2)
+
+    x_last = jnp.take_along_axis(
+        x, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)[:, 0]
+    x_last = naive.rms_norm(x_last, params["final_norm"]["w"], cfg.norm_eps)
+    logits = common.lm_head_gather(params["lm_head"], x_last, NULL_CTX)
+    return logits, {"layers": new_layers}
+
+
 # ---------------------------------------------------------------------------
 # decode
 # ---------------------------------------------------------------------------

@@ -56,9 +56,10 @@ def lm_head(p: dict, x: jax.Array) -> jax.Array:
     upcasts hidden states and keeps the LM head in fp32).  Also accepts
     the optional int8 layout (quant/transform.quantize_lm_head)."""
     if "qw" in p:
+        # out_dtype=fp32: keep the scale multiply and logits in fp32
         return quant_matmul.w8a8_matmul(
-            x.astype(jnp.bfloat16), p["qw"], p["w_scale"]
-        ).astype(jnp.float32)
+            x.astype(jnp.bfloat16), p["qw"], p["w_scale"],
+            out_dtype=jnp.float32)
     return jnp.dot(
         x.astype(jnp.float32), p["w"].astype(jnp.float32),
         preferred_element_type=jnp.float32)

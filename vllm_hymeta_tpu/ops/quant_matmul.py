@@ -344,8 +344,12 @@ def _pick_tile(n: int, mult: int, lo: int, hi: int) -> int:
     return 0
 
 
-def w8a8_matmul(x, qw, w_scale):
+def w8a8_matmul(x, qw, w_scale, out_dtype=None):
+    """out_dtype: result dtype (default x.dtype). The fp32 LM head passes
+    float32 so the scale multiply and logits never round through bf16."""
     shape = x.shape
+    out_dtype = jnp.dtype(out_dtype) if out_dtype is not None \
+        else jnp.dtype(x.dtype)
     x2 = x.reshape(-1, shape[-1])
     if _on_tpu() and x2.shape[0] <= 64 \
             and x2.shape[1] % 32 == 0 and qw.shape[1] % 128 == 0:
@@ -376,16 +380,16 @@ def w8a8_matmul(x, qw, w_scale):
         bn_cap = max(512, (6 * 1024 * 1024 // bk) // 128 * 128)
         bn = _pick_tile(N, 128, 512, min(2048, bn_cap)) or 512
         y = _w8a8_matmul_pallas(qx, x_scale, qw, w_scale,
-                                out_dtype=jnp.dtype(x.dtype),
+                                out_dtype=out_dtype,
                                 bm=32, bn=bn, bk=bk)[:orig_m]
     elif _on_tpu():
         # large M: XLA's native int8 dot runs at MXU peak (trace-verified
         # ~388 TOPS on the gate_up shape); quantize in one Pallas pass
         qx, x_scale = quantize_rows(x2)
         y = w8a8_matmul_prequant(qx, x_scale, qw, w_scale,
-                                 out_dtype=jnp.dtype(x.dtype))
+                                 out_dtype=out_dtype)
     else:
-        y = w8a8_matmul_ref(x2, qw, w_scale)
+        y = w8a8_matmul_ref(x2, qw, w_scale).astype(out_dtype)
     return y.reshape(*shape[:-1], qw.shape[1])
 
 

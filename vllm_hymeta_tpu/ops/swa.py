@@ -223,32 +223,38 @@ def _splash_prefill(q, k, v, k_pos, window_keys: int, ctx_len: int,
 
 
 def splash_prefill_batched(q, k, v, k_pos, window_keys: int, ctx_len: int,
-                           scale: Optional[float] = None):
+                           scale: Optional[float] = None,
+                           need_lse: bool = False,
+                           mask_mode: Optional[str] = None):
     """Batched windowed-chunk attention for multi-request prefill steps:
     q [B, Tq, Hq, D], k/v [B, ctx_len+Tq, Hkv, D], k_pos [B, Tk] ->
-    out [B, Tq, Hq, D].  Same static mask for every request (the relative
-    [ctx ∥ chunk] alignment is position-independent); per-request key
-    validity rides in the segment ids."""
+    out [B, Tq, Hq, D] (+ lse [B, Hq, Tq] when need_lse).  Same static
+    mask for every request (the relative [ctx ∥ chunk] alignment is
+    position-independent); per-request key validity rides in the segment
+    ids.  mask_mode "causal" forces global layers (window_keys == 0)."""
     B, Tq, Hq, D = q.shape
     Tk, Hkv = k.shape[1], k.shape[2]
     rep = Hq // Hkv
     if scale is None:
         scale = D ** -0.5
+    if mask_mode is None:
+        mask_mode = "window" if window_keys > 0 else "causal"
+    win = window_keys if mask_mode == "window" else 0
     if jax.default_backend() not in ("tpu", "axon") or D != 128 \
             or Tq % min(512, Tq) or Tq % 128:
         q_pos = jnp.where(k_pos[:, ctx_len:] >= 0,
                           k_pos[:, ctx_len:], INVALID_POS)
 
         def ref(qb, kb, vb, qp, kp):
-            o, _ = flash_window_prefill_ref(qb, kb, vb, qp, kp,
-                                            window_keys, ctx_len, scale)
-            return o
-        return jax.vmap(ref)(q, k, v, q_pos, k_pos)
+            return flash_window_prefill_ref(qb, kb, vb, qp, kp,
+                                            win, ctx_len, scale, mask_mode)
+        out, lse = jax.vmap(ref)(q, k, v, q_pos, k_pos)
+        return (out, lse) if need_lse else out
     bq = min(512, Tq)
     bkv = 512
     tk_p = _round_up(Tk, bkv)
-    kern = _make_splash(Tq, tk_p, window_keys, ctx_len, rep, bq, bkv,
-                        False)
+    kern = _make_splash(Tq, tk_p, win, ctx_len, rep, bq, bkv,
+                        need_lse)
     qg = (jnp.swapaxes(q, 1, 2).reshape(B, Hkv, rep, Tq, D)
           * jnp.bfloat16(scale))
     kh = jnp.pad(jnp.swapaxes(k, 1, 2),
@@ -263,8 +269,12 @@ def splash_prefill_batched(q, k, v, k_pos, window_keys: int, ctx_len: int,
         return jax.vmap(kern, in_axes=(0, 0, 0, None))(qg_b, kh_b, vh_b,
                                                        seg)
 
-    out = jax.vmap(per_req)(qg, kh, vh, kseg)     # [B, Hkv, rep, Tq, D]
-    return jnp.swapaxes(out.reshape(B, Hq, Tq, D), 1, 2)
+    res = jax.vmap(per_req)(qg, kh, vh, kseg)     # [B, Hkv, rep, Tq, D]
+    if need_lse:
+        out, (lse,) = res
+        return (jnp.swapaxes(out.reshape(B, Hq, Tq, D), 1, 2),
+                lse.reshape(B, Hq, Tq).astype(jnp.float32))
+    return jnp.swapaxes(res.reshape(B, Hq, Tq, D), 1, 2)
 
 
 def flash_window_prefill(

@@ -134,7 +134,8 @@ def quantize_lm_head(params: dict) -> dict:
     (`modeling_hymeta.py:1459-1469`) — this is an extra serving knob for
     bandwidth-bound decode, where the bf16 head is ~14% of per-step HBM
     traffic on the 7B.  Top-1 agreement vs the bf16 head is property-tested
-    (tests/test_quant.py); off by default everywhere but the bench.
+    (tests/test_quant.py); off by default — opt in via BENCH_INT8_HEAD=1
+    in bench.py or by calling this transform before Engine construction.
     """
     import copy
     out = copy.deepcopy(jax.tree.map(lambda x: x, params))
