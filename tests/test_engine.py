@@ -239,3 +239,52 @@ class TestBatchedPrefill:
             assert len(req.output) == 3
             _assert_greedy_consistent(cfg, gla_swa, params, prompt,
                                       req.output)
+
+
+class TestLogprobsAndStops:
+    def test_logprobs_greedy(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(9),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg(logprobs_topk=4))
+        prompt = list(np.random.RandomState(9).randint(0, 256, size=10))
+        sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True,
+                            logprobs=2)
+        [req] = eng.generate([prompt], sp)
+        assert len(req.logprobs) == len(req.output) == 6
+        for tok, lp, top in zip(req.output, req.logprobs,
+                                req.top_logprobs):
+            assert lp <= 0.0
+            assert len(top) == 2
+            # greedy: emitted token is the top-1 alternative and its
+            # entry matches the chosen logprob
+            best = max(top, key=top.get)
+            assert best == tok
+            assert abs(top[tok] - lp) < 1e-5
+
+    def test_logprobs_off_by_default(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(9),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg())
+        [req] = eng.generate([[1, 2, 3]], SamplingParams(
+            temperature=0.0, max_tokens=2, ignore_eos=True, logprobs=2))
+        assert req.logprobs == []          # engine compiled without topk
+
+    def test_stop_token_ids(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(10),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg())
+        prompt = [4, 5, 6]
+        [probe] = eng.generate([prompt], SamplingParams(
+            temperature=0.0, max_tokens=5, ignore_eos=True))
+        stop_tok = probe.output[2]
+        eng2 = Engine(cfg, params, _ecfg())
+        [req] = eng2.generate([prompt], SamplingParams(
+            temperature=0.0, max_tokens=16, ignore_eos=True,
+            stop_token_ids=[stop_tok]))
+        assert req.finish_reason == "stop"
+        assert req.output[-1] == stop_tok
+        k = probe.output.index(stop_tok)
+        assert req.output == probe.output[:k + 1]

@@ -147,3 +147,75 @@ class TestSuites:
             "answerKey": "A"}])
         res = mc_accuracy(cfg, params, items, tokenizer=IdTok())
         assert res["n"] == 1 and res["accuracy"] in (0.0, 1.0)
+
+
+class TestIFEvalRules:
+    def test_individual_rules(self):
+        from vllm_hymeta_tpu.evals import ifeval_rules as R
+        assert R.keywords_existence("the cat sat", keywords=["cat", "sat"])
+        assert not R.keywords_existence("the cat", keywords=["dog"])
+        assert R.keywords_frequency("go go go", keyword="go", frequency=3,
+                                    relation="at least")
+        assert not R.keywords_frequency("go", keyword="go", frequency=3,
+                                        relation="at least")
+        assert R.keywords_forbidden("all fine here",
+                                    forbidden_words=["bad"])
+        assert R.letter_frequency("banana", letter="a", let_frequency=3,
+                                  let_relation="at least")
+        assert R.number_words("one two three", num_words=3,
+                              relation="at least")
+        assert R.number_words("one two", num_words=3, relation="less than")
+        assert R.number_sentences("Hi. There. Ok.", num_sentences=3,
+                                  relation="at least")
+        assert R.number_paragraphs("a\n***\nb\n***\nc", num_paragraphs=3)
+        assert R.nth_paragraph_first_word(
+            "alpha text\n\nbravo text", num_paragraphs=2, nth_paragraph=2,
+            first_word="bravo")
+        assert R.number_placeholders("fill [name] and [date]",
+                                     num_placeholders=2)
+        assert R.postscript("bye\nP.S. remember",
+                            postscript_marker="P.S.")
+        assert R.number_bullets("* a\n* b\n", num_bullets=2)
+        assert R.constrained_response("Well, My answer is yes.")
+        assert R.number_highlights("see *this* and *that*",
+                                   num_highlights=2)
+        assert R.multiple_sections("Section 1 intro Section 2 body",
+                                   section_spliter="Section",
+                                   num_sections=2)
+        assert R.json_format('{"a": 1}')
+        assert not R.json_format("not json")
+        assert R.title_format("<<My Title>>\nbody")
+        assert R.two_responses("first answer\n******\nsecond answer")
+        assert R.repeat_prompt("Repeat me please, then more",
+                               prompt_to_repeat="Repeat me please")
+        assert R.end_checker("all done now", end_phrase="done now")
+        assert R.quotation('"quoted fully"')
+        assert R.capital_word_frequency("the BIG RED dog",
+                                        capital_frequency=2,
+                                        capital_relation="at least")
+        assert R.english_capital("ALL CAPS HERE!")
+        assert R.english_lowercase("all lower here.")
+        assert R.no_comma("no commas here")
+        assert not R.no_comma("one, two")
+
+    def test_check_strict_protocol(self):
+        from vllm_hymeta_tpu.evals.ifeval_rules import check
+        ok, v = check("THE QUICK FOX", ["change_case:english_capital",
+                                        "punctuation:no_comma"], [{}, {}])
+        assert ok and v == [True, True]
+        ok, v = check("The quick fox", ["change_case:english_capital",
+                                        "punctuation:no_comma"], [{}, {}])
+        assert not ok and v == [False, True]
+        # unknown ids -> None, excluded from strict all
+        ok, v = check("x", ["not:a_rule"], [{}])
+        assert ok and v == [None]
+
+    def test_gen_accuracy_ifeval_mode(self):
+        """End-to-end: the gen scorer applies the rule checker when the
+        suite declares match='ifeval'."""
+        from vllm_hymeta_tpu.evals.gen import _match_ifeval
+        item = {"instruction_id_list": ["punctuation:no_comma",
+                                       "detectable_format:title"],
+                "instruction_kwargs": [{}, {}]}
+        assert _match_ifeval("<<T>> clean text", item)
+        assert not _match_ifeval("<<T>> has, comma", item)

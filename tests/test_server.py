@@ -115,3 +115,81 @@ class TestServer:
                 if c["choices"][0].get("token_ids")]
         assert len(toks) == 5
         assert chunks[-1]["choices"][0]["finish_reason"] == "length"
+
+
+class _CharTok:
+    """Deterministic toy tokenizer: token t <-> letter chr(97 + t % 26)."""
+
+    def encode(self, s):
+        return [ord(c) % 256 for c in s]
+
+    def decode(self, ids):
+        return "".join(chr(97 + (t % 26)) for t in ids)
+
+
+@pytest.fixture(scope="module")
+def server_tok():
+    from http.server import ThreadingHTTPServer
+    cfg = tiny_glaswa()
+    params = gla_swa.init_params(cfg, jax.random.PRNGKey(5),
+                                 dtype=jnp.float32)
+    eng = Engine(cfg, params, EngineConfig(
+        max_num_seqs=2, max_model_len=128, prefill_chunk=16,
+        prefill_buckets=(16,), decode_block=4, logprobs_topk=4))
+    serving = ServingEngine(eng, tokenizer=_CharTok(), model_name="tiny")
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), make_handler(serving))
+    port = httpd.server_address[1]
+    t = threading.Thread(target=httpd.serve_forever, daemon=True)
+    t.start()
+    yield port
+    httpd.shutdown()
+    serving.shutdown()
+
+
+class TestStopStringsAndLogprobs:
+    def test_logprobs_in_response(self, server_tok):
+        st, body = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [3, 4, 5], "max_tokens": 4,
+            "temperature": 0.0, "ignore_eos": True, "logprobs": 2})
+        assert st == 200, body
+        ch = body["choices"][0]
+        lp = ch["logprobs"]
+        assert len(lp["token_logprobs"]) == 4
+        assert all(v <= 0 for v in lp["token_logprobs"])
+        # greedy: emitted token is its own top-1
+        for tok, top in zip(ch["token_ids"], lp["top_logprobs"]):
+            assert str(tok) in top
+            assert len(top) == 2
+
+    def test_stop_string_truncates(self, server_tok):
+        # probe: full greedy text
+        st, probe = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [7, 8, 9], "max_tokens": 10,
+            "temperature": 0.0, "ignore_eos": True})
+        assert st == 200
+        text = probe["choices"][0]["text"]
+        assert len(text) == 10
+        stop = text[3]          # single letter appearing at index 3
+        first = text.find(stop)
+        st, body = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [7, 8, 9], "max_tokens": 10,
+            "temperature": 0.0, "ignore_eos": True, "stop": stop})
+        assert st == 200
+        ch = body["choices"][0]
+        assert ch["finish_reason"] == "stop"
+        assert ch["text"] == text[:first]
+        assert stop not in ch["text"]
+
+    def test_stop_token_ids_api(self, server_tok):
+        st, probe = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [2, 3], "max_tokens": 6,
+            "temperature": 0.0, "ignore_eos": True})
+        tok = probe["choices"][0]["token_ids"][2]
+        st, body = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [2, 3], "max_tokens": 16,
+            "temperature": 0.0, "ignore_eos": True,
+            "stop_token_ids": [tok]})
+        assert st == 200
+        ch = body["choices"][0]
+        assert ch["finish_reason"] == "stop"
+        assert ch["token_ids"][-1] == tok

@@ -26,6 +26,7 @@ class LLM:
                  kv_cache_dtype: str = "bfloat16",
                  dtype=jnp.bfloat16,
                  tokenizer: Optional[object] = None,
+                 logprobs_topk: int = 0,
                  seed: int = 0):
         from vllm_hymeta_tpu import weights as weights_lib
         from vllm_hymeta_tpu.quant import io as quant_io
@@ -46,7 +47,8 @@ class LLM:
             self.tokenizer = _try_load_tokenizer(model)
         ecfg = EngineConfig(max_num_seqs=max_num_seqs,
                             max_model_len=max_model_len,
-                            kv_dtype=kv_cache_dtype)
+                            kv_dtype=kv_cache_dtype,
+                            logprobs_topk=logprobs_topk)
         self.engine = Engine(self.cfg, self.params, ecfg, seed=seed)
 
     def generate(self,
@@ -60,24 +62,53 @@ class LLM:
                 token_lists.append(self.tokenizer.encode(p))
             else:
                 token_lists.append(list(p))
-        reqs = self.engine.generate(token_lists, sampling_params)
+        sp = sampling_params
+        stop_strings = bool(sp and sp.stop) and self.tokenizer is not None
+        if not stop_strings:
+            reqs = self.engine.generate(token_lists, sampling_params)
+        else:
+            # drive steps manually so stop strings can cancel mid-flight
+            ids = [self.engine.add_request(p, sp) for p in token_lists]
+            running = {r.req_id: r for r in
+                       list(self.engine.waiting)}
+            done = {}
+            while self.engine.has_work():
+                for r in self.engine.step():
+                    done[r.req_id] = r
+                for rid, r in list(running.items()):
+                    if r.finished or not r.output:
+                        continue
+                    text = self.tokenizer.decode(r.output)
+                    for sstr in sp.stop:
+                        i = text.find(sstr)
+                        if i >= 0:
+                            self.engine.cancel_request(rid, "stop")
+                            r.stop_text = text[:i]
+                            done[rid] = r
+                            break
+            reqs = [done[i] for i in ids]
         outs = []
         for r in reqs:
-            text = None
-            if self.tokenizer is not None:
+            text = getattr(r, "stop_text", None)
+            if text is None and self.tokenizer is not None:
                 text = self.tokenizer.decode(r.output)
             outs.append(CompletionOutput(
                 request_id=r.req_id, token_ids=r.output, text=text,
-                finish_reason=r.finish_reason))
+                finish_reason=r.finish_reason,
+                logprobs=r.logprobs or None,
+                top_logprobs=r.top_logprobs or None))
         return outs
 
 
 class CompletionOutput:
-    def __init__(self, request_id, token_ids, text, finish_reason):
+    def __init__(self, request_id, token_ids, text, finish_reason,
+                 logprobs=None, top_logprobs=None):
         self.request_id = request_id
         self.token_ids = token_ids
         self.text = text
         self.finish_reason = finish_reason
+        self.logprobs = logprobs            # [n_tokens] chosen-token logp
+        self.top_logprobs = top_logprobs    # [n_tokens] {token_id: logp}
 
     def __repr__(self):
         return (f"CompletionOutput(id={self.request_id}, "

@@ -52,6 +52,9 @@ class EngineConfig:
     # powers of two up to this) — large-M matmuls for short-prompt
     # serving; 1 disables
     prefill_batch: int = 8
+    # top-N alternatives captured per emitted token when a request asks
+    # for logprobs (static: compiled into the step programs); 0 disables
+    logprobs_topk: int = 0
     # while decodes are in flight, cap prefill chunks at this many tokens
     # so a long prompt can't stall active generations for a whole
     # `prefill_chunk` step (the role of the reference's mixed
@@ -72,6 +75,10 @@ class Request:
     finish_reason: Optional[str] = None
     t_arrival: float = 0.0
     t_first_token: Optional[float] = None
+    # per emitted token, when params.logprobs > 0
+    logprobs: List[float] = dataclasses.field(default_factory=list)
+    top_logprobs: List[Dict[int, float]] = dataclasses.field(
+        default_factory=list)
 
 
 class Engine:
@@ -189,7 +196,11 @@ class Engine:
             tok = sampler_lib.sample(
                 lg, key, samp["temperature"][slot][None],
                 samp["top_k"][slot][None], samp["top_p"][slot][None])[0]
-            return tok, cache
+            lp = ()
+            if self.ecfg.logprobs_topk > 0:
+                lp = sampler_lib.token_logprobs(
+                    lg, tok[None], self.ecfg.logprobs_topk)
+            return tok, lp, cache
 
         jfn = jax.jit(fn, donate_argnums=(2,))
         self._compiled_prefill[bucket] = jfn
@@ -217,7 +228,11 @@ class Engine:
             toks = sampler_lib.sample(
                 lg, key, samp["temperature"][slots],
                 samp["top_k"][slots], samp["top_p"][slots])
-            return toks, cache
+            lp = ()
+            if self.ecfg.logprobs_topk > 0:
+                lp = sampler_lib.token_logprobs(
+                    lg, toks, self.ecfg.logprobs_topk)
+            return toks, lp, cache
 
         jfn = jax.jit(fn, donate_argnums=(2,))
         self._compiled_prefill_batched[key_] = jfn
@@ -278,38 +293,54 @@ class Engine:
                 logits, key, samp["temperature"], samp["top_k"],
                 samp["top_p"])
             ids = jnp.where(active, ids, tokens)
+            lp = ()
+            if self.ecfg.logprobs_topk > 0:
+                lp = sampler_lib.token_logprobs(
+                    logits, ids, self.ecfg.logprobs_topk)
             samp = dict(samp)
             seen_rows = samp["seen"][jnp.arange(ids.shape[0]), ids]
             samp["seen"] = samp["seen"].at[
                 jnp.arange(ids.shape[0]), ids].set(
                 jnp.where(active, True, seen_rows))
-            return ids, cache, samp
+            return ids, lp, cache, samp
 
         eos_id = self.cfg.eos_token_id
         if eos_id is None:
             eos_id = -1  # never matches a sampled id
 
+        K = self.ecfg.logprobs_topk
+
         def fn(params, meta, cache, samp, tokens, positions, active, key):
             S = tokens.shape[0]
             out0 = jnp.zeros((S, n_steps), jnp.int32)
+            lp0 = ()
+            if K > 0:
+                lp0 = (jnp.zeros((S, n_steps), jnp.float32),
+                       jnp.zeros((S, n_steps, K), jnp.int32),
+                       jnp.zeros((S, n_steps, K), jnp.float32))
 
             def body(i, carry):
-                tokens, positions, active, cache, samp, out = carry
-                ids, cache, samp = one_step(
+                tokens, positions, active, cache, samp, out, lps = carry
+                ids, lp, cache, samp = one_step(
                     params, meta, cache, samp, tokens, positions, active,
                     jax.random.fold_in(key, i))
                 out = out.at[:, i].set(ids)
+                if K > 0:
+                    lps = (lps[0].at[:, i].set(lp[0]),
+                           lps[1].at[:, i].set(lp[1]),
+                           lps[2].at[:, i].set(lp[2]))
                 positions = positions + active.astype(jnp.int32)
                 # on-device eos stop: the eos token itself is emitted, then
                 # the slot goes inactive for the rest of this block AND any
                 # chained block (the host confirms at harvest)
                 active = active & ~(samp["stop_on_eos"] & (ids == eos_id))
-                return (ids, positions, active, cache, samp, out)
+                return (ids, positions, active, cache, samp, out, lps)
 
-            tokens, positions, active, cache, samp, out = jax.lax.fori_loop(
+            (tokens, positions, active, cache, samp, out,
+             lps) = jax.lax.fori_loop(
                 0, n_steps, body,
-                (tokens, positions, active, cache, samp, out0))
-            return out, cache, samp, active, positions
+                (tokens, positions, active, cache, samp, out0, lp0))
+            return out, lps, cache, samp, active, positions
 
         self._compiled_decode = jax.jit(fn, donate_argnums=(2, 3))
         return self._compiled_decode
@@ -368,10 +399,10 @@ class Engine:
             active = jnp.asarray(self.active)
         if isinstance(positions, np.ndarray):
             positions = jnp.asarray(positions.astype(np.int32))
-        ids, self.cache, self.samp_state, act_dev, pos_dev = fn(
+        ids, lps, self.cache, self.samp_state, act_dev, pos_dev = fn(
             self.params, self.meta, self.cache, self.samp_state,
             jnp.asarray(tokens), positions, active, k)
-        self._pending = (was_active, ids, act_dev, pos_dev)
+        self._pending = (was_active, ids, lps, act_dev, pos_dev)
 
     def _can_speculate(self) -> bool:
         """True when the NEXT decode block can be dispatched before reading
@@ -393,16 +424,21 @@ class Engine:
                 return False
         return True
 
-    def _harvest(self, was_active: np.ndarray, ids_dev,
+    def _harvest(self, was_active: np.ndarray, ids_dev, lps_dev,
                  finished: List[Request]):
         ids = np.asarray(ids_dev)  # [S, decode_block]; blocks until ready
+        lps = tuple(np.asarray(a) for a in lps_dev) if lps_dev else None
         for slot in list(self.slot_req):
             req = self.slot_req[slot]
             if not was_active[slot]:
                 continue
             for j in range(ids.shape[1]):
                 self.positions[slot] += 1
-                self._emit(req, int(ids[slot, j]), finished)
+                lp = None
+                if lps is not None and req.params.logprobs > 0:
+                    lp = (float(lps[0][slot, j]), lps[1][slot, j],
+                          lps[2][slot, j])
+                self._emit(req, int(ids[slot, j]), finished, lp)
                 if req.finished:
                     break
 
@@ -414,11 +450,11 @@ class Engine:
         # tokens, no host read) when safe, THEN block on the old results —
         # the device never idles on the host round-trip
         if self._pending is not None:
-            was_active, ids_dev, act_dev, pos_dev = self._pending
+            was_active, ids_dev, lps_dev, act_dev, pos_dev = self._pending
             self._pending = None
             if self._can_speculate():
                 self._dispatch_decode(ids_dev[:, -1], pos_dev, act_dev)
-            self._harvest(was_active, ids_dev, finished)
+            self._harvest(was_active, ids_dev, lps_dev, finished)
             return finished
 
         # admit new requests
@@ -472,7 +508,7 @@ class Engine:
                     nval[b] = n
                 fn = self._prefill_batched_fn(bucket, B)
                 self.rng, k = jax.random.split(self.rng)
-                toks_dev, self.cache = fn(
+                toks_dev, lp_dev, self.cache = fn(
                     self.params, self.meta, self.cache, self.samp_state,
                     jnp.asarray(tokens), jnp.asarray(slots),
                     jnp.asarray(pos0), jnp.asarray(nval), k)
@@ -484,8 +520,13 @@ class Engine:
                         done_idx.append((b, r))
                 if done_idx:
                     toks = np.asarray(toks_dev)
+                    lps = tuple(np.asarray(a) for a in lp_dev) \
+                        if lp_dev else None
                     for b, r in done_idx:
-                        self._emit(r, int(toks[b]), finished)
+                        lp = None
+                        if lps is not None and r.params.logprobs > 0:
+                            lp = (float(lps[0][b]), lps[1][b], lps[2][b])
+                        self._emit(r, int(toks[b]), finished, lp)
                         if not r.finished:
                             self.active[r.slot] = True
                 return finished
@@ -499,14 +540,19 @@ class Engine:
             tokens[:n] = toks
             fn = self._prefill_fn(bucket)
             self.rng, k = jax.random.split(self.rng)
-            tok_dev, self.cache = fn(
+            tok_dev, lp_dev, self.cache = fn(
                 self.params, self.meta, self.cache, self.samp_state,
                 jnp.asarray(tokens), jnp.int32(pre.slot),
                 jnp.int32(pre.prefill_done), jnp.int32(n), k)
             pre.prefill_done += n
             self.positions[pre.slot] = pre.prefill_done
             if pre.prefill_done >= len(pre.prompt):
-                self._emit(pre, int(tok_dev), finished)
+                lp = None
+                if lp_dev and pre.params.logprobs > 0:
+                    lp = (float(np.asarray(lp_dev[0])[0]),
+                          np.asarray(lp_dev[1])[0],
+                          np.asarray(lp_dev[2])[0])
+                self._emit(pre, int(tok_dev), finished, lp)
                 if not pre.finished:
                     self.active[pre.slot] = True
             return finished
@@ -524,12 +570,22 @@ class Engine:
         self._dispatch_decode(tokens, self.positions)
         return finished
 
-    def _emit(self, req: Request, tok: int, finished: List[Request]):
+    def _emit(self, req: Request, tok: int, finished: List[Request],
+              lp=None):
         if req.t_first_token is None:
             req.t_first_token = time.time()
         req.output.append(tok)
+        if lp is not None:
+            chosen, top_ids, top_lps = lp
+            req.logprobs.append(chosen)
+            n = min(req.params.logprobs, len(top_ids))
+            req.top_logprobs.append(
+                {int(i): float(v)
+                 for i, v in zip(top_ids[:n], top_lps[:n])})
         stop = False
         if (not req.params.ignore_eos) and tok == self.cfg.eos_token_id:
+            stop, reason = True, "stop"
+        elif req.params.stop_token_ids and tok in req.params.stop_token_ids:
             stop, reason = True, "stop"
         elif len(req.output) >= req.params.max_tokens:
             stop, reason = True, "length"
@@ -538,6 +594,22 @@ class Engine:
         if stop:
             self._finish(req, reason)
             finished.append(req)
+
+    def cancel_request(self, req_id: int, reason: str = "stop"):
+        """Finish a request early (stop-string hit, client disconnect).
+        Safe between steps; an in-flight decode block's tokens for the
+        slot are discarded at harvest.  Returns the request or None."""
+        for req in list(self.waiting):
+            if req.req_id == req_id:
+                self.waiting.remove(req)
+                req.finished = True
+                req.finish_reason = reason
+                return req
+        for slot, req in list(self.slot_req.items()):
+            if req.req_id == req_id:
+                self._finish(req, reason)
+                return req
+        return None
 
     # ----------------------------------------------------------- generate
 

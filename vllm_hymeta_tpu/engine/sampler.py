@@ -27,6 +27,14 @@ class SamplingParams:
     max_tokens: int = 128
     ignore_eos: bool = False
     greedy: Optional[bool] = None  # None => greedy iff temperature == 0
+    # extra token ids that stop generation like eos (vLLM stop_token_ids)
+    stop_token_ids: Optional[list] = None
+    # stop strings, enforced where a tokenizer exists (LLM / server):
+    # generation halts and the text is truncated before the match
+    stop: Optional[list] = None
+    # return log-probabilities: number of top alternatives per emitted
+    # token (0 = off).  Engine-wide topk is EngineConfig.logprobs_topk.
+    logprobs: int = 0
 
     def is_greedy(self) -> bool:
         if self.greedy is not None:
@@ -90,3 +98,18 @@ def sample(logits: jax.Array,        # [S, V] fp32
 
     return jax.lax.cond(needs_sampling, full_path,
                         lambda _: greedy_ids, None)
+
+
+def token_logprobs(logits: jax.Array,    # [S, V] fp32 (post-penalty)
+                   ids: jax.Array,       # [S] sampled token ids
+                   topk: int):
+    """Log-probabilities of the processed distribution (vLLM semantics:
+    the distribution the token was drawn from, before temperature — the
+    OpenAI API reports untempered model logprobs).
+
+    Returns (chosen [S] fp32, top_ids [S, topk] int32, top_lp [S, topk]).
+    """
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    chosen = jnp.take_along_axis(logp, ids[:, None], axis=-1)[:, 0]
+    top_lp, top_ids = jax.lax.top_k(logp, topk)
+    return chosen, top_ids.astype(jnp.int32), top_lp

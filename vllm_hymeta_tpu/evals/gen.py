@@ -29,6 +29,17 @@ def _norm(s: str) -> str:
     return re.sub(r"\s+", " ", s.strip().lower())
 
 
+def _match_ifeval(pred: str, item: dict) -> bool:
+    """Strict IFEval scoring via the rule checker; falls back to keyword
+    containment for rows without instruction ids."""
+    from vllm_hymeta_tpu.evals import ifeval_rules
+    ids = item.get("instruction_id_list") or []
+    if not ids:
+        return _match(pred, item.get("answer", []), "contains")
+    ok, _ = ifeval_rules.check(pred, ids, item.get("instruction_kwargs"))
+    return ok
+
+
 def _match(pred: str, answers, mode: str) -> bool:
     if not isinstance(answers, (list, tuple)):
         answers = [answers]
@@ -72,7 +83,10 @@ def gen_accuracy(engine, items: List[dict], tokenizer,
         text = dec(req.output)
         if stop_at_newline:
             text = text.split("\n", 1)[0]
-        ok = _match(text, item["answer"], match)
+        if match == "ifeval":
+            ok = _match_ifeval(text, item)
+        else:
+            ok = _match(text, item["answer"], match)
         correct += int(ok)
         preds.append({"pred": text, "ok": ok})
     n = len(items)

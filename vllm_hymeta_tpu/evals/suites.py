@@ -111,9 +111,13 @@ def _quality(row: dict, shots: List[dict]) -> dict:
 
 
 def _ifeval(row: dict, shots: List[dict]) -> dict:
-    # instruction following: scored by keyword containment here (the full
-    # rule-based checker is out of scope without the ifeval package)
+    # instruction following: scored by the in-tree rule checker
+    # (evals/ifeval_rules.py; strict protocol — every instruction must
+    # be followed).  Rows without instruction ids fall back to keyword
+    # containment.
     return {"prompt": row["prompt"],
+            "instruction_id_list": row.get("instruction_id_list", []),
+            "instruction_kwargs": row.get("kwargs", []),
             "answer": row.get("answer", row.get("keywords", []))}
 
 
@@ -144,7 +148,7 @@ SUITES: Dict[str, dict] = {
                  "max_tokens": 48, "stop_at_newline": True},
     "quality": {"mode": "mc", "fewshot": 0, "format": _quality},
     "ifeval": {"mode": "gen", "fewshot": 0, "format": _ifeval,
-               "match": "contains", "max_tokens": 512},
+               "match": "ifeval", "max_tokens": 512},
 }
 
 

@@ -26,7 +26,14 @@ def _load_params(args):
         params = model.init_params(cfg, jax.random.PRNGKey(0),
                                    dtype=jnp.bfloat16)
     else:
-        params = weights_lib.load_checkpoint(cfg, args.model)
+        from vllm_hymeta_tpu.quant import io as quant_io
+        if quant_io.is_compressed_tensors_checkpoint(args.model):
+            params = quant_io.load_compressed_w8a8_checkpoint(
+                cfg, args.model)
+        elif quant_io.is_gptq_checkpoint(args.model):
+            params = quant_io.load_gptq_checkpoint(cfg, args.model)
+        else:
+            params = weights_lib.load_checkpoint(cfg, args.model)
     if args.quantization == "w8a8":
         from vllm_hymeta_tpu.quant import quantize_params_w8a8
         params = quantize_params_w8a8(params)
@@ -43,7 +50,8 @@ def _load(args):
     cfg, params = _load_params(args)
     ecfg = EngineConfig(max_num_seqs=args.max_num_seqs,
                         max_model_len=args.max_model_len,
-                        kv_dtype=args.kv_cache_dtype)
+                        kv_dtype=args.kv_cache_dtype,
+                        logprobs_topk=getattr(args, "logprobs_topk", 0))
     mesh = None
     if args.tensor_parallel_size * args.data_parallel_size > 1:
         from vllm_hymeta_tpu.parallel import make_mesh
@@ -68,6 +76,9 @@ def main(argv=None):
                         help="skip checkpoint load (benchmarking)")
         sp.add_argument("--tensor-parallel-size", type=int, default=1)
         sp.add_argument("--data-parallel-size", type=int, default=1)
+        sp.add_argument("--logprobs-topk", type=int, default=0,
+                        help="top-N logprob alternatives compiled into the "
+                             "step programs (0 disables the logprobs API)")
 
     ps = sub.add_parser("serve")
     common(ps)

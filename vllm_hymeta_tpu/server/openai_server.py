@@ -39,15 +39,43 @@ class ServingEngine:
         self.results: Dict[int, object] = {}
         # rid -> [request_obj, queue, n_tokens_already_pushed]
         self.streams: Dict[int, list] = {}
+        # rid -> request_obj for requests with stop strings (checked by
+        # incremental decode each loop; needs a tokenizer)
+        self.stop_watch: Dict[int, object] = {}
         self.running = True
         self.thread = threading.Thread(target=self._loop, daemon=True)
         self.thread.start()
+
+    def _check_stop_strings(self):
+        """Stop-string enforcement (vLLM `stop`): decode each watched
+        request's output and cancel at the first match; the response text
+        is truncated before the match.  Caller holds the lock."""
+        if self.tokenizer is None or not self.stop_watch:
+            return []
+        hit = []
+        for rid, req in list(self.stop_watch.items()):
+            if req.finished:
+                self.stop_watch.pop(rid, None)
+                continue
+            if not req.output:
+                continue
+            text = self.tokenizer.decode(req.output)
+            for sstr in (req.params.stop or ()):
+                i = text.find(sstr)
+                if i >= 0:
+                    self.engine.cancel_request(rid, "stop")
+                    req.stop_text = text[:i]
+                    self.stop_watch.pop(rid, None)
+                    hit.append(req)
+                    break
+        return hit
 
     def _loop(self):
         while self.running:
             with self.lock:
                 has_work = self.engine.has_work()
                 finished = self.engine.step() if has_work else []
+                finished = list(finished) + self._check_stop_strings()
                 stream_items = list(self.streams.items())
             for rid, st in stream_items:
                 req, q, sent = st
@@ -72,6 +100,8 @@ class ServingEngine:
         ev = threading.Event()
         with self.lock:
             rid = self.engine.add_request(prompt_tokens, params)
+            if params.stop:
+                self.stop_watch[rid] = self.engine.waiting[-1]
             self.events[rid] = ev
         if not ev.wait(timeout):
             raise TimeoutError(f"request {rid} timed out")
@@ -85,6 +115,8 @@ class ServingEngine:
             rid = self.engine.add_request(prompt_tokens, params)
             req = self.engine.waiting[-1]
             assert req.req_id == rid
+            if params.stop:
+                self.stop_watch[rid] = req
             self.streams[rid] = [req, q, 0]
         return q
 
@@ -94,6 +126,10 @@ class ServingEngine:
 
 
 def _params_from_body(body: dict) -> SamplingParams:
+    stop = body.get("stop")
+    if isinstance(stop, str):
+        stop = [stop]
+    lp = body.get("logprobs")
     return SamplingParams(
         temperature=float(body.get("temperature", 1.0)),
         top_p=float(body.get("top_p", 1.0)),
@@ -101,6 +137,9 @@ def _params_from_body(body: dict) -> SamplingParams:
         repetition_penalty=float(body.get("repetition_penalty", 1.0)),
         max_tokens=int(body.get("max_tokens", 128)),
         ignore_eos=bool(body.get("ignore_eos", False)),
+        stop=stop,
+        stop_token_ids=body.get("stop_token_ids"),
+        logprobs=int(lp) if lp else 0,
     )
 
 
@@ -217,18 +256,29 @@ def make_handler(serving: ServingEngine):
             if body.get("stream"):
                 return self._stream(ids, body, chat=False)
             req = serving.submit(ids, _params_from_body(body))
-            text = self._decode(req.output)
+            text = getattr(req, "stop_text", None)
+            if text is None:
+                text = self._decode(req.output)
+            choice = {
+                "index": 0,
+                "text": text if text is not None else "",
+                "token_ids": req.output,
+                "finish_reason": req.finish_reason,
+            }
+            if req.logprobs:
+                choice["logprobs"] = {
+                    "token_logprobs": req.logprobs,
+                    "top_logprobs": [
+                        {str(k): v for k, v in d.items()}
+                        for d in req.top_logprobs],
+                    "tokens": [str(t) for t in req.output],
+                }
             self._json(200, {
                 "id": f"cmpl-{uuid.uuid4().hex[:24]}",
                 "object": "text_completion",
                 "created": int(time.time()),
                 "model": serving.model_name,
-                "choices": [{
-                    "index": 0,
-                    "text": text if text is not None else "",
-                    "token_ids": req.output,
-                    "finish_reason": req.finish_reason,
-                }],
+                "choices": [choice],
                 "usage": {
                     "prompt_tokens": len(ids),
                     "completion_tokens": len(req.output),
@@ -249,7 +299,9 @@ def make_handler(serving: ServingEngine):
             if body.get("stream"):
                 return self._stream(list(ids), body, chat=True)
             req = serving.submit(list(ids), _params_from_body(body))
-            text = self._decode(req.output)
+            text = getattr(req, "stop_text", None)
+            if text is None:
+                text = self._decode(req.output)
             self._json(200, {
                 "id": f"chatcmpl-{uuid.uuid4().hex[:24]}",
                 "object": "chat.completion",
