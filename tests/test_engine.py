@@ -288,3 +288,58 @@ class TestLogprobsAndStops:
         assert req.output[-1] == stop_tok
         k = probe.output.index(stop_tok)
         assert req.output == probe.output[:k + 1]
+
+
+class TestPrefixCache:
+    def test_prefix_reuse_identical_output(self):
+        """Second request sharing a long prefix must skip the cached
+        chunks (fewer prefill dispatches) and emit identical greedy
+        tokens."""
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(11),
+                                     dtype=jnp.float32)
+        rs = np.random.RandomState(11)
+        prefix = list(rs.randint(0, 256, size=24))
+        p1 = prefix + list(rs.randint(0, 256, size=5))
+        p2 = prefix + list(rs.randint(0, 256, size=7))
+        sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+
+        def run(pc, prompts):
+            # max_num_seqs=1 serializes the requests so the second one is
+            # admitted after the first's prefixes are snapshotted
+            eng = Engine(cfg, params, _ecfg(
+                max_num_seqs=1, prefill_chunk=8, prefill_buckets=(8,),
+                prefill_batch=1, prefix_cache_size=pc))
+            calls = []
+            orig = eng._prefill_fn
+
+            def spy(bucket):
+                f = orig(bucket)
+
+                def wrapped(*a, **k):
+                    calls.append(bucket)
+                    return f(*a, **k)
+                return wrapped
+            eng._prefill_fn = spy
+            outs = [r.output for r in eng.generate(prompts, sp)]
+            return outs, len(calls)
+
+        base, n_base = run(0, [p1, p2])
+        cached, n_cached = run(4, [p1, p2])
+        assert base == cached, (base, cached)
+        # p1 prefills fully (4 chunks), caches prefixes at 8/16/24;
+        # p2 reuses the 24-token snapshot -> only its tail chunk
+        assert n_cached < n_base, (n_cached, n_base)
+
+    def test_prefix_cache_lru_eviction(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(12),
+                                     dtype=jnp.float32)
+        eng = Engine(cfg, params, _ecfg(
+            prefill_chunk=8, prefill_buckets=(8,), prefix_cache_size=2))
+        sp = SamplingParams(temperature=0.0, max_tokens=2, ignore_eos=True)
+        rs = np.random.RandomState(12)
+        for _ in range(3):
+            eng.generate([list(rs.randint(0, 256, size=20))], sp)
+        assert len(eng._prefix_cache) <= 2
+        assert len(eng._prefix_lru) == len(eng._prefix_cache)

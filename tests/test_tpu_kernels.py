@@ -317,3 +317,67 @@ def test_hymeta_serving_matches_full_on_tpu():
         act = jnp.array([True, False])
         dl, cache = hymeta.decode(cfg, params, meta, cache, tok, pos, act)
         assert _logits_close(dl[0], full[T + t]), t
+
+
+def test_train_window_attention_matches_naive():
+    """Differentiable splash training path: forward parity with the naive
+    reference, with and without a metatoken block."""
+    from vllm_hymeta_tpu.ops import naive, swa
+    key = jax.random.PRNGKey(20)
+    B, T, Hq, Hkv, D, M = 2, 512, 4, 2, 128, 128
+    wk = 257  # window_keys
+    q = jax.random.normal(key, (B, M + T, Hq, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, M + T, Hkv, D),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, M + T, Hkv, D),
+                          jnp.bfloat16)
+    pos = jnp.arange(M + T, dtype=jnp.int32)
+
+    # plain windowed (gla_swa layer_forward shape)
+    out = swa.train_window_attention(q, k, v, wk)
+    ref, _ = naive.swa_attention(q, k, v, pos, pos, wk - 1, True)
+    assert _rms(out, ref) < 2e-2, _rms(out, ref)
+
+    # with metatoken column (hymeta forward_full shape)
+    out2 = swa.train_window_attention(q, k, v, wk, num_meta=M)
+    r_real, r_meta = naive.metatoken_swa_attention(
+        q[:, M:], k[:, M:], v[:, M:], k[0, :M], v[0, :M],
+        pos[M:], pos[M:], wk, False, meta_q=q[0, :M])
+    ref2 = jnp.concatenate(
+        [jnp.broadcast_to(r_meta[None], (B, M, Hq, D)), r_real], axis=1)
+    assert _rms(out2, ref2.astype(jnp.float32)) < 2e-2, _rms(out2, ref2)
+
+    # causal (window_keys == 0) mode for full-attn layers
+    out3 = swa.train_window_attention(q, k, v, 0, num_meta=M)
+    assert np.isfinite(np.asarray(out3)).all()
+
+
+def test_train_window_attention_backward():
+    """The splash custom-VJP gradients must track the naive autodiff
+    gradients (this is the FA2-style training backward, SURVEY.md N7)."""
+    from vllm_hymeta_tpu.ops import naive, swa
+    key = jax.random.PRNGKey(21)
+    B, T, Hq, Hkv, D = 1, 512, 2, 1, 128
+    wk = 129
+    q = jax.random.normal(key, (B, T, Hq, D), jnp.float32) * 0.5
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, T, Hkv, D),
+                          jnp.float32) * 0.5
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, T, Hkv, D),
+                          jnp.float32) * 0.5
+    pos = jnp.arange(T, dtype=jnp.int32)
+    w = jax.random.normal(jax.random.fold_in(key, 3), (D,), jnp.float32)
+
+    def loss_flash(q, k, v):
+        o = swa.train_window_attention(
+            q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+            v.astype(jnp.bfloat16), wk)
+        return jnp.sum(o * w)
+
+    def loss_naive(q, k, v):
+        o, _ = naive.swa_attention(q, k, v, pos, pos, wk - 1, True)
+        return jnp.sum(o * w)
+
+    g_f = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    g_n = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
+    for a, b, name in zip(g_f, g_n, "qkv"):
+        assert _rms(a, b) < 5e-2, (name, _rms(a, b))

@@ -52,6 +52,14 @@ class EngineConfig:
     # powers of two up to this) — large-M matmuls for short-prompt
     # serving; 1 disables
     prefill_batch: int = 8
+    # cross-request prefix cache: completed prefill-chunk states are
+    # snapshotted and re-installed for new requests sharing the prompt
+    # prefix (the role of vLLM's automatic prefix caching / the
+    # reference's prefix-cache hit path, `meta_attention.py:900-919`,
+    # exact here because ring+GLA state at position p captures the whole
+    # history).  Value = max snapshots kept (LRU); 0 disables.
+    # Single-device path.
+    prefix_cache_size: int = 0
     # top-N alternatives captured per emitted token when a request asks
     # for logprobs (static: compiled into the step programs); 0 disables
     logprobs_topk: int = 0
@@ -147,6 +155,11 @@ class Engine:
         self.positions = np.zeros((S,), np.int64)
         self.active = np.zeros((S,), bool)
 
+        # prefix cache: key tuple(prompt[:p]) -> device snapshot pytree
+        self._prefix_cache: Dict[tuple, dict] = {}
+        self._prefix_lru: List[tuple] = []
+        self._compiled_snap_extract = None
+        self._compiled_snap_install = None
         self._compiled_prefill = {}
         self._compiled_prefill_batched = {}
         self._compiled_decode = None
@@ -378,6 +391,61 @@ class Engine:
             jnp.float32(p.temperature), jnp.int32(p.top_k),
             jnp.float32(p.top_p), jnp.float32(p.repetition_penalty),
             jnp.bool_(not p.ignore_eos))
+        hit = self._prefix_lookup(req.prompt)
+        if hit is not None:
+            key, snap = hit
+            self._install_snapshot(slot, snap)
+            req.prefill_done = len(key)
+            self.positions[slot] = len(key)
+
+    # --------------------------------------------------- prefix caching
+
+    def _prefix_lookup(self, prompt: List[int]):
+        """Longest cached prefix strictly shorter than the prompt."""
+        if not self._prefix_cache:
+            return None
+        best = None
+        pt = tuple(prompt)
+        for key in self._prefix_cache:
+            if len(key) < len(pt) and (best is None
+                                       or len(key) > len(best)) \
+                    and pt[:len(key)] == key:
+                best = key
+        if best is None:
+            return None
+        self._prefix_lru.remove(best)
+        self._prefix_lru.append(best)
+        return best, self._prefix_cache[best]
+
+    def _maybe_snapshot_prefix(self, req: Request):
+        """After a completed prefill chunk: snapshot the slot's per-layer
+        state keyed by the prompt prefix processed so far."""
+        if (self.ecfg.prefix_cache_size <= 0 or self.mesh is not None
+                or req.prefill_done >= len(req.prompt)):
+            return
+        key = tuple(req.prompt[:req.prefill_done])
+        if key in self._prefix_cache:
+            return
+        if self._compiled_snap_extract is None:
+            self._compiled_snap_extract = jax.jit(
+                lambda cache, slot: jax.tree.map(
+                    lambda a: a[slot], cache["layers"]))
+        snap = self._compiled_snap_extract(self.cache, jnp.int32(req.slot))
+        while len(self._prefix_lru) >= self.ecfg.prefix_cache_size:
+            old = self._prefix_lru.pop(0)
+            del self._prefix_cache[old]
+        self._prefix_cache[key] = snap
+        self._prefix_lru.append(key)
+
+    def _install_snapshot(self, slot: int, snap):
+        if self._compiled_snap_install is None:
+            def fn(cache, snap, slot):
+                layers = jax.tree.map(
+                    lambda a, b: a.at[slot].set(b), cache["layers"], snap)
+                return {**cache, "layers": layers}
+            self._compiled_snap_install = jax.jit(fn, donate_argnums=(0,))
+        self.cache = self._compiled_snap_install(self.cache, snap,
+                                                 jnp.int32(slot))
 
     def _finish(self, req: Request, reason: str):
         req.finished = True
@@ -516,6 +584,7 @@ class Engine:
                 for b, r in enumerate(group):
                     r.prefill_done += int(nval[b])
                     self.positions[r.slot] = r.prefill_done
+                    self._maybe_snapshot_prefix(r)
                     if r.prefill_done >= len(r.prompt):
                         done_idx.append((b, r))
                 if done_idx:
@@ -546,6 +615,7 @@ class Engine:
                 jnp.int32(pre.prefill_done), jnp.int32(n), k)
             pre.prefill_done += n
             self.positions[pre.slot] = pre.prefill_done
+            self._maybe_snapshot_prefix(pre)
             if pre.prefill_done >= len(pre.prompt):
                 lp = None
                 if lp_dev and pre.params.logprobs > 0:

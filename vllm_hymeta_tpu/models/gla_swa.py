@@ -157,9 +157,14 @@ def layer_forward(cfg: GLAswaConfig, lp: dict, x: jax.Array,
         D = cfg.head_dim
         q, k, v = common.project_qkv(ap, y, H, Hkv, D)
         q, k = _swa_rope(cfg, q, k, positions)
-        out, _ = naive.swa_attention(
-            q, k, v, positions[0], positions[0], cfg.sliding_window,
-            cfg.inclusive_window)
+        if swa.can_flash_train(q.shape[1], D):
+            # differentiable splash path: flash fwd+bwd, O(T·W) memory
+            # (coords == positions: the training/PP paths feed arange)
+            out = swa.train_window_attention(q, k, v, cfg.window_keys)
+        else:
+            out, _ = naive.swa_attention(
+                q, k, v, positions[0], positions[0], cfg.sliding_window,
+                cfg.inclusive_window)
         att = pctx.sp_reduce(linear(
             ap["o_proj"], common.merge_heads(out.astype(y.dtype))))
     else:

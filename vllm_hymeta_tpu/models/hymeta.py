@@ -336,12 +336,20 @@ def forward_full(cfg: HymetaConfig, params: dict,
         cos, sin = naive.rope_cos_sin(positions[None], D, cfg.rope_theta)
         q = naive.apply_rope(q, cos, sin)
         k = naive.apply_rope(k, cos, sin)
-        out, meta_out = naive.metatoken_swa_attention(
-            q[:, M:], k[:, M:], v[:, M:], k[0, :M], v[0, :M],
-            positions[M:], positions[M:], cfg.layer_window(i),
-            cfg.inclusive_window, meta_q=q[0, :M])
-        swa_out = jnp.concatenate(
-            [jnp.broadcast_to(meta_out[None], (B, M, H, D)), out], axis=1)
+        if swa.can_flash_train(M + T, D):
+            # ONE differentiable splash pass over [meta ∥ tokens]: the
+            # windowed-causal OR meta-column mask reproduces the two-pass
+            # LSE merge exactly, with flash fwd+bwd (O(T·W+T·M) memory)
+            swa_out = swa.train_window_attention(
+                q, k, v, cfg.layer_window(i), num_meta=M).astype(y.dtype)
+        else:
+            out, meta_out = naive.metatoken_swa_attention(
+                q[:, M:], k[:, M:], v[:, M:], k[0, :M], v[0, :M],
+                positions[M:], positions[M:], cfg.layer_window(i),
+                cfg.inclusive_window, meta_q=q[0, :M])
+            swa_out = jnp.concatenate(
+                [jnp.broadcast_to(meta_out[None], (B, M, H, D)), out],
+                axis=1)
 
         # GLA branch (metatokens are just the first M positions)
         lb = _layer_lower_bound(cfg, lbs, i)

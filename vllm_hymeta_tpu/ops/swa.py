@@ -476,3 +476,106 @@ def merge_two(out1, lse1, out2, lse2):
     new_lse = lse1 - jax.nn.log_sigmoid(lse1 - lse2)
     w2 = jax.nn.sigmoid(lse2 - lse1)[..., None]
     return out1 - w2 * (out1 - out2), new_lse
+
+
+# ---------------------------------------------------------------------------
+# training-path flash attention (differentiable; splash fwd + bwd kernels)
+# ---------------------------------------------------------------------------
+
+class _MetaColumnMask(_splash_mask_lib.Mask):
+    """Static mask allowing every query to attend keys j < num_meta — the
+    metatoken block of a [meta ∥ tokens] sequence.  OR-composed with
+    LocalMask this yields the full metatoken-attention semantics in ONE
+    differentiable kernel (no LSE merge): real queries see window + all
+    metas, meta queries see all metas non-causally and no real keys."""
+
+    def __init__(self, shape, num_meta: int):
+        self._shape = tuple(shape)
+        self.num_meta = int(num_meta)
+
+    @property
+    def shape(self):
+        return self._shape
+
+    def __getitem__(self, idx):
+        import numpy as onp
+        q_slice, kv_slice = idx
+        q_idx = onp.arange(*q_slice.indices(self._shape[0]))
+        kv_idx = onp.arange(*kv_slice.indices(self._shape[1]))
+        return onp.broadcast_to(kv_idx[None, :] < self.num_meta,
+                                (len(q_idx), len(kv_idx))).copy()
+
+    def __eq__(self, other):
+        return (isinstance(other, _MetaColumnMask)
+                and self._shape == other._shape
+                and self.num_meta == other.num_meta)
+
+    def __hash__(self):
+        return hash((type(self), self._shape, self.num_meta))
+
+
+@functools.lru_cache(maxsize=64)
+def _make_splash_train(t_total: int, window_keys: int, num_meta: int,
+                       rep: int, bq: int, bkv: int):
+    """Differentiable splash kernel over a [meta ∥ tokens] (or plain)
+    sequence: windowed-causal OR meta-column mask.  The library kernel
+    carries flash dq/dkv backward passes (O(T·W) memory) — the TPU
+    replacement for the reference's FA2 training backward
+    (`hf_model/fa_kernel_metatoken.py:118-183`, SURVEY.md N7)."""
+    shape = (t_total, t_total)
+    win = None if window_keys == 0 else window_keys - 1
+    mask = _splash_mask_lib.LocalMask(shape, window_size=(win, 0), offset=0)
+    if num_meta > 0:
+        mask = mask | _MetaColumnMask(shape, num_meta)
+    mhm = _splash_mask_lib.MultiHeadMask([mask for _ in range(rep)])
+    return _splash_kernel_lib.make_splash_mqa_single_device(
+        mhm,
+        block_sizes=_splash_kernel_lib.BlockSizes(
+            block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+            block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
+            block_q_dq=bq, block_kv_dq=bkv,
+            use_fused_bwd_kernel=False))
+
+
+def can_flash_train(t_total: int, head_dim: int) -> bool:
+    """True when the differentiable splash path supports this shape."""
+    return (jax.default_backend() in ("tpu", "axon")
+            and head_dim == 128 and t_total >= 512)
+
+
+def train_window_attention(q, k, v, window_keys: int, num_meta: int = 0,
+                           scale: Optional[float] = None):
+    """Differentiable windowed (+ optional metatoken-block) attention for
+    the training/golden forward: q/k/v [B, T, H*, D] over the already-
+    concatenated [meta ∥ tokens] sequence; returns out [B, T, Hq, D] fp32.
+
+    Flash forward AND backward (splash library custom VJP) — activation
+    memory O(T·W), replacing the O(T²) naive logits of the jnp reference
+    path for long-context training (VERDICT r2 item 9)."""
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[2]
+    rep = Hq // Hkv
+    if scale is None:
+        scale = D ** -0.5
+    bq = min(512, _round_up(T, 128))
+    bkv = min(512, _round_up(T, 128))
+    t_pad = _round_up(T, max(bq, bkv))
+    kern = _make_splash_train(t_pad, window_keys, num_meta, rep, bq, bkv)
+
+    qg = (jnp.swapaxes(q, 1, 2).reshape(B, Hkv, rep, T, D)
+          * jnp.bfloat16(scale))
+    qg = jnp.pad(qg, ((0, 0), (0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+    kh = jnp.pad(jnp.swapaxes(k, 1, 2),
+                 ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+    vh = jnp.pad(jnp.swapaxes(v, 1, 2),
+                 ((0, 0), (0, 0), (0, t_pad - T), (0, 0)))
+    kseg = jnp.pad(jnp.ones((T,), jnp.int32), (0, t_pad - T))
+    seg = _splash_kernel_lib.SegmentIds(q=jnp.ones((t_pad,), jnp.int32),
+                                        kv=kseg)
+
+    def per_batch(qb, kb, vb):
+        return jax.vmap(kern, in_axes=(0, 0, 0, None))(qb, kb, vb, seg)
+
+    out = jax.vmap(per_batch)(qg, kh, vh)      # [B, Hkv, rep, t_pad, D]
+    out = jnp.swapaxes(out.reshape(B, Hq, t_pad, D), 1, 2)
+    return out[:, :T].astype(jnp.float32)
