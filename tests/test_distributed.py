@@ -216,3 +216,59 @@ class TestPipelineParallel:
         assert len(flat_a) == len(flat_b)
         for a, b in zip(flat_a, flat_b):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestGroupedMeshPrefill:
+    def test_dp_grouped_prefill_matches_single(self):
+        """Two concurrent requests on a (data=2, model=2) mesh must go
+        through the dp-grouped prefill (one chunk per rank in one step)
+        and emit the same greedy tokens as single-device."""
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        import numpy as np
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(3),
+                                     dtype=jnp.float32)
+        ecfg = EngineConfig(max_num_seqs=4, max_model_len=128,
+                            prefill_chunk=16, prefill_buckets=(16,),
+                            decode_block=2)
+        rs = np.random.RandomState(3)
+        prompts = [list(rs.randint(0, 256, size=n)) for n in (11, 9)]
+        sp = SamplingParams(temperature=0.0, max_tokens=4, ignore_eos=True)
+
+        eng1 = Engine(cfg, params, ecfg)
+        base = [r.output for r in eng1.generate(prompts, sp)]
+
+        mesh = make_mesh(tp=2, dp=2, devices=jax.devices()[:4])
+        eng2 = Engine(cfg, params, ecfg, mesh=mesh)
+        grouped = []
+        orig = eng2._prefill_group_fn
+
+        def spy(bucket):
+            grouped.append(bucket)
+            return orig(bucket)
+        eng2._prefill_group_fn = spy
+        outs = [r.output for r in eng2.generate(prompts, sp)]
+        assert grouped, "dp-grouped prefill was not used"
+        # slots must have landed on different ranks
+        assert base == outs, (base, outs)
+
+    def test_grouped_prefill_hymeta_mesh(self):
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        import numpy as np
+        cfg = tiny_hymeta()
+        params = hymeta.init_params(cfg, jax.random.PRNGKey(4),
+                                    dtype=jnp.float32)
+        ecfg = EngineConfig(max_num_seqs=4, max_model_len=128,
+                            prefill_chunk=16, prefill_buckets=(16,),
+                            decode_block=2)
+        rs = np.random.RandomState(4)
+        prompts = [list(rs.randint(0, 256, size=n)) for n in (10, 8)]
+        sp = SamplingParams(temperature=0.0, max_tokens=3, ignore_eos=True)
+        eng1 = Engine(cfg, params, ecfg)
+        base = [r.output for r in eng1.generate(prompts, sp)]
+        mesh = make_mesh(tp=2, dp=2, devices=jax.devices()[:4])
+        eng2 = Engine(cfg, params, ecfg, mesh=mesh)
+        outs = [r.output for r in eng2.generate(prompts, sp)]
+        assert base == outs, (base, outs)

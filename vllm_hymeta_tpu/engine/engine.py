@@ -127,14 +127,27 @@ class Engine:
             params = self.params
             self._local_prefill = pstep.make_local_prefill(
                 cfg, mesh, self.params, self.cache, self.meta)
+            self._local_prefill_group = pstep.make_local_prefill_group(
+                cfg, mesh, self.params, self.cache, self.meta)
             self._local_decode = pstep.make_local_decode(
                 cfg, mesh, self.params, self.cache, self.meta)
         else:
             self._local_prefill = None
+            self._local_prefill_group = None
             self._local_decode = None
 
         S = self.ecfg.max_num_seqs
-        self.free_slots = deque(range(S))
+        if mesh is not None and int(mesh.shape["data"]) > 1:
+            # interleave slot handout across data ranks so concurrent
+            # requests land on different ranks (dp-grouped prefill + DP
+            # decode both want rank-balanced slots)
+            dp = int(mesh.shape["data"])
+            n_local = S // dp
+            order = [r * n_local + i for i in range(n_local)
+                     for r in range(dp)]
+            self.free_slots = deque(order)
+        else:
+            self.free_slots = deque(range(S))
         self.slot_req: Dict[int, Request] = {}
         self.waiting: deque = deque()
         self.next_id = 0
@@ -162,6 +175,7 @@ class Engine:
         self._compiled_snap_install = None
         self._compiled_prefill = {}
         self._compiled_prefill_batched = {}
+        self._compiled_prefill_group = {}
         self._compiled_decode = None
         self._compiled_start = None
         self._last_was_prefill = False
@@ -249,6 +263,32 @@ class Engine:
 
         jfn = jax.jit(fn, donate_argnums=(2,))
         self._compiled_prefill_batched[key_] = jfn
+        return jfn
+
+    def _prefill_group_fn(self, bucket: int):
+        """Mesh path: one request chunk per data rank in one program
+        (B == dp), plus per-row sampling."""
+        if bucket in self._compiled_prefill_group:
+            return self._compiled_prefill_group[bucket]
+
+        def fn(params, meta, cache, samp, tokens, slots, pos0, n_valid,
+               key):
+            logits, cache = self._local_prefill_group(
+                params, meta, cache, tokens, slots, pos0, n_valid)
+            lg = logits.astype(jnp.float32)                 # [B, V]
+            lg = sampler_lib.apply_repetition_penalty(
+                lg, samp["seen"][slots], samp["rep_penalty"][slots])
+            toks = sampler_lib.sample(
+                lg, key, samp["temperature"][slots],
+                samp["top_k"][slots], samp["top_p"][slots])
+            lp = ()
+            if self.ecfg.logprobs_topk > 0:
+                lp = sampler_lib.token_logprobs(
+                    lg, toks, self.ecfg.logprobs_topk)
+            return toks, lp, cache
+
+        jfn = jax.jit(fn, donate_argnums=(2,))
+        self._compiled_prefill_group[bucket] = jfn
         return jfn
 
     def _start_fn(self):
@@ -596,6 +636,62 @@ class Engine:
                         if lps is not None and r.params.logprobs > 0:
                             lp = (float(lps[0][b]), lps[1][b], lps[2][b])
                         self._emit(r, int(toks[b]), finished, lp)
+                        if not r.finished:
+                            self.active[r.slot] = True
+                return finished
+
+        # mesh path: group one pending request PER DATA RANK into a single
+        # dp-grouped prefill step (each rank computes only its own chunk)
+        if (pre is not None and self.mesh is not None
+                and self.ecfg.prefill_batch > 1 and len(pending) >= 2):
+            dp = int(self.mesh.shape["data"])
+            n_local = self.ecfg.max_num_seqs // dp
+            by_rank: Dict[int, Request] = {}
+            for r in pending:
+                by_rank.setdefault(r.slot // n_local, r)
+            if dp > 1 and len(by_rank) >= 2:
+                cap = self._chunk_cap()
+                bucket = max(self._bucket_for(
+                    min(len(r.prompt) - r.prefill_done, cap))
+                    for r in by_rank.values())
+                tokens = np.zeros((dp, bucket), np.int32)
+                slots = np.zeros((dp,), np.int32)
+                pos0 = np.zeros((dp,), np.int32)
+                nval = np.zeros((dp,), np.int32)
+                group = []
+                for rk in range(dp):
+                    r = by_rank.get(rk)
+                    if r is None:
+                        slots[rk] = rk * n_local   # dummy: n_valid=0 no-op
+                        continue
+                    n = min(len(r.prompt) - r.prefill_done, bucket)
+                    tokens[rk, :n] = r.prompt[
+                        r.prefill_done:r.prefill_done + n]
+                    slots[rk] = r.slot
+                    pos0[rk] = r.prefill_done
+                    nval[rk] = n
+                    group.append((rk, r))
+                fn = self._prefill_group_fn(bucket)
+                self.rng, k = jax.random.split(self.rng)
+                toks_dev, lp_dev, self.cache = fn(
+                    self.params, self.meta, self.cache, self.samp_state,
+                    jnp.asarray(tokens), jnp.asarray(slots),
+                    jnp.asarray(pos0), jnp.asarray(nval), k)
+                toks = None
+                lps = None
+                for rk, r in group:
+                    r.prefill_done += int(nval[rk])
+                    self.positions[r.slot] = r.prefill_done
+                    if r.prefill_done >= len(r.prompt):
+                        if toks is None:
+                            toks = np.asarray(toks_dev)
+                            lps = tuple(np.asarray(a) for a in lp_dev) \
+                                if lp_dev else None
+                        lp = None
+                        if lps is not None and r.params.logprobs > 0:
+                            lp = (float(lps[0][rk]), lps[1][rk],
+                                  lps[2][rk])
+                        self._emit(r, int(toks[rk]), finished, lp)
                         if not r.finished:
                             self.active[r.slot] = True
                 return finished

@@ -24,6 +24,10 @@ class ParallelCtx:
     # all-gather tokens on entry and reduce-scatter on exit, replacing the
     # TP psum with an equal-volume pair and cutting activation memory /tp.
     sp: bool = False
+    # dp-grouped prefill: each data rank runs its OWN request, so the
+    # owner-broadcast of prefill logits (psum_data) must be an identity —
+    # each rank keeps its request's logits (gathered by the out_specs).
+    dp_grouped: bool = False
 
     # ----- model (TP) axis -----
     @property
@@ -68,8 +72,12 @@ class ParallelCtx:
         return jax.lax.axis_size(self.data_axis) if self.data_axis else 1
 
     def psum_data(self, x):
-        """Reduce across the data axis (owner-broadcast of prefill logits)."""
-        return jax.lax.psum(x, self.data_axis) if self.data_axis else x
+        """Reduce across the data axis (owner-broadcast of prefill logits).
+        Identity in dp-grouped prefill, where every rank serves a
+        different request."""
+        if self.dp_grouped or not self.data_axis:
+            return x
+        return jax.lax.psum(x, self.data_axis)
 
     def data_rank(self) -> jax.Array:
         if not self.data_axis:

@@ -58,6 +58,43 @@ def build_prefill(cfg, mesh: Mesh, params: dict, cache: dict,
                    donate_argnums=(2,))
 
 
+def make_local_prefill_group(cfg, mesh: Mesh, params: dict, cache: dict,
+                             meta: Optional[dict]):
+    """dp-grouped prefill: ONE request chunk per data rank in a single
+    step (B == dp size) — the mesh path's multi-request prefill.  Each
+    rank computes only its own request (vs the owner-masked replication
+    of the single-request path, which wastes (dp-1)/dp of the FLOPs).
+    Rows with n_valid == 0 are no-ops (dummy ranks).
+
+    prefill_group(params, meta, cache, tokens [B, T], slots [B],
+    pos0 [B], n_valid [B]) -> (logits [B, V], cache)."""
+    model = get_model(cfg)
+    is_hymeta = isinstance(cfg, HymetaConfig)
+    pctx = ParallelCtx(model_axis="model", data_axis="data",
+                       dp_grouped=True)
+    pspecs = sharding.param_specs(cfg, params)
+    cspecs = sharding.cache_specs(cache)
+    mspecs = sharding.meta_specs(meta) if meta is not None else None
+
+    def local(params, meta, cache, tokens, slots, pos0, n_valid):
+        # local shards: tokens [1, T], slots/pos0/n_valid [1]
+        if is_hymeta:
+            logits, cache = model.prefill(
+                cfg, params, meta, cache, tokens[0], slots[0], pos0[0],
+                n_valid[0], pctx=pctx)
+        else:
+            logits, cache = model.prefill(
+                cfg, params, cache, tokens[0], slots[0], pos0[0],
+                n_valid[0], pctx=pctx)
+        return logits[None], cache
+
+    return _shard_map(
+        local, mesh,
+        in_specs=(pspecs, mspecs, cspecs, P("data"), P("data"),
+                  P("data"), P("data")),
+        out_specs=(P("data", None), cspecs))
+
+
 def make_local_decode(cfg, mesh: Mesh, params: dict, cache: dict,
                       meta: Optional[dict]):
     """shard_map-wrapped (un-jitted) decode(params, meta, cache, tokens,
