@@ -193,3 +193,27 @@ class TestStopStringsAndLogprobs:
         ch = body["choices"][0]
         assert ch["finish_reason"] == "stop"
         assert ch["token_ids"][-1] == tok
+
+
+class TestParallelSampling:
+    def test_n_choices(self, server_tok):
+        st, body = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [11, 12, 13], "max_tokens": 4,
+            "temperature": 0.8, "seed": 0, "ignore_eos": True, "n": 3})
+        assert st == 200, body
+        ch = body["choices"]
+        assert len(ch) == 3
+        assert [c["index"] for c in ch] == [0, 1, 2]
+        assert all(len(c["token_ids"]) == 4 for c in ch)
+
+    def test_best_of_ranks_by_logprob(self, server_tok):
+        st, body = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [21, 22], "max_tokens": 4,
+            "temperature": 1.0, "ignore_eos": True,
+            "n": 2, "best_of": 4, "logprobs": 1})
+        assert st == 200, body
+        ch = body["choices"]
+        assert len(ch) == 2
+        means = [sum(c["logprobs"]["token_logprobs"]) /
+                 len(c["logprobs"]["token_logprobs"]) for c in ch]
+        assert means[0] >= means[1]

@@ -35,6 +35,11 @@ class SamplingParams:
     # return log-probabilities: number of top alternatives per emitted
     # token (0 = off).  Engine-wide topk is EngineConfig.logprobs_topk.
     logprobs: int = 0
+    # parallel sampling (vLLM `n`/`best_of`): the API layer expands one
+    # prompt into max(n, best_of) engine requests (prefix cache makes the
+    # shared prompt nearly free) and returns the n best by mean logprob
+    n: int = 1
+    best_of: Optional[int] = None
 
     def is_greedy(self) -> bool:
         if self.greedy is not None:

@@ -97,15 +97,28 @@ class ServingEngine:
                 time.sleep(0.005)
 
     def submit(self, prompt_tokens, params: SamplingParams, timeout=600.0):
-        ev = threading.Event()
+        return self.submit_many(prompt_tokens, params, 1, timeout)[0]
+
+    def submit_many(self, prompt_tokens, params: SamplingParams,
+                    count: int, timeout=600.0):
+        """Enqueue `count` copies of one prompt (vLLM n/best_of parallel
+        sampling — they batch through the engine, sharing the prompt via
+        the prefix cache when enabled) and wait for all."""
+        evs = []
         with self.lock:
-            rid = self.engine.add_request(prompt_tokens, params)
-            if params.stop:
-                self.stop_watch[rid] = self.engine.waiting[-1]
-            self.events[rid] = ev
-        if not ev.wait(timeout):
-            raise TimeoutError(f"request {rid} timed out")
-        return self.results.pop(rid)
+            for _ in range(count):
+                rid = self.engine.add_request(list(prompt_tokens), params)
+                if params.stop:
+                    self.stop_watch[rid] = self.engine.waiting[-1]
+                ev = threading.Event()
+                self.events[rid] = ev
+                evs.append((rid, ev))
+        out = []
+        for rid, ev in evs:
+            if not ev.wait(timeout):
+                raise TimeoutError(f"request {rid} timed out")
+            out.append(self.results.pop(rid))
+        return out
 
     def submit_stream(self, prompt_tokens, params: SamplingParams):
         """Enqueue a request and return a queue of ("token", id) items
@@ -131,6 +144,8 @@ def _params_from_body(body: dict) -> SamplingParams:
         stop = [stop]
     lp = body.get("logprobs")
     return SamplingParams(
+        n=int(body.get("n", 1)),
+        best_of=int(body["best_of"]) if body.get("best_of") else None,
         temperature=float(body.get("temperature", 1.0)),
         top_p=float(body.get("top_p", 1.0)),
         top_k=int(body.get("top_k", 0)),
@@ -253,36 +268,54 @@ def make_handler(serving: ServingEngine):
                 if isinstance(prompt, list):
                     prompt = prompt[0]
                 ids = self._encode(prompt)
+            params = _params_from_body(body)
             if body.get("stream"):
+                if max(params.n, params.best_of or 1) > 1:
+                    return self._json(400, {
+                        "error": "stream with n/best_of > 1 unsupported"})
                 return self._stream(ids, body, chat=False)
-            req = serving.submit(ids, _params_from_body(body))
-            text = getattr(req, "stop_text", None)
-            if text is None:
-                text = self._decode(req.output)
-            choice = {
-                "index": 0,
-                "text": text if text is not None else "",
-                "token_ids": req.output,
-                "finish_reason": req.finish_reason,
-            }
-            if req.logprobs:
-                choice["logprobs"] = {
-                    "token_logprobs": req.logprobs,
-                    "top_logprobs": [
-                        {str(k): v for k, v in d.items()}
-                        for d in req.top_logprobs],
-                    "tokens": [str(t) for t in req.output],
+            count = max(params.n, params.best_of or 1)
+            reqs = serving.submit_many(ids, params, count)
+            if params.best_of and params.best_of > params.n:
+                # rank by mean token logprob (needs logprobs compiled in;
+                # falls back to arrival order otherwise), keep the n best
+                def score(r):
+                    return (sum(r.logprobs) / max(len(r.logprobs), 1)
+                            if r.logprobs else 0.0)
+                reqs = sorted(reqs, key=score, reverse=True)[:params.n]
+            choices = []
+            for i, req in enumerate(reqs):
+                text = getattr(req, "stop_text", None)
+                if text is None:
+                    text = self._decode(req.output)
+                choice = {
+                    "index": i,
+                    "text": text if text is not None else "",
+                    "token_ids": req.output,
+                    "finish_reason": req.finish_reason,
                 }
+                if req.logprobs:
+                    choice["logprobs"] = {
+                        "token_logprobs": req.logprobs,
+                        "top_logprobs": [
+                            {str(k): v for k, v in d.items()}
+                            for d in req.top_logprobs],
+                        "tokens": [str(t) for t in req.output],
+                    }
+                choices.append(choice)
+            req = reqs[0]
             self._json(200, {
                 "id": f"cmpl-{uuid.uuid4().hex[:24]}",
                 "object": "text_completion",
                 "created": int(time.time()),
                 "model": serving.model_name,
-                "choices": [choice],
+                "choices": choices,
                 "usage": {
                     "prompt_tokens": len(ids),
-                    "completion_tokens": len(req.output),
-                    "total_tokens": len(ids) + len(req.output),
+                    "completion_tokens": sum(
+                        len(r.output) for r in reqs),
+                    "total_tokens": len(ids) + sum(
+                        len(r.output) for r in reqs),
                 },
             })
 
