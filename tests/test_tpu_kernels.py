@@ -331,6 +331,11 @@ def test_train_window_attention_matches_naive():
                           jnp.bfloat16)
     v = jax.random.normal(jax.random.fold_in(key, 2), (B, M + T, Hkv, D),
                           jnp.bfloat16)
+    # metatoken rows are shared across the batch in real use (they come
+    # from the weights) — the naive reference below relies on that
+    q = q.at[:, :M].set(q[0, :M])
+    k = k.at[:, :M].set(k[0, :M])
+    v = v.at[:, :M].set(v[0, :M])
     pos = jnp.arange(M + T, dtype=jnp.int32)
 
     # plain windowed (gla_swa layer_forward shape)
