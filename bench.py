@@ -110,7 +110,8 @@ def main():
                         prefill_chunk=chunk,
                         prefill_buckets=(chunk,),
                         kv_dtype="bfloat16",
-                        decode_block=16)
+                        decode_block=int(os.environ.get("BENCH_DECODE_BLOCK",
+                                                        16)))
     eng = Engine(cfg, params, ecfg)
 
     import numpy as np

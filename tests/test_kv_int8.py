@@ -67,9 +67,9 @@ class TestPartialChunkRing:
     off the last *valid* position, not the padded tail)."""
 
     def test_partial_chunk_bucket_exceeds_ring(self):
-        # repro from the round-2 verdict: R=128, T=256, n_valid=100
-        # previously wrote 0 of 100 entries.
-        Hkv, D, R, T, n_valid = 2, 8, 128, 256, 100
+        # repro from the round-2 verdict (scaled to the 512-aligned ring):
+        # previously wrote 0 of n_valid entries.
+        Hkv, D, R, T, n_valid = 2, 8, 512, 1024, 300
         cc = cache_lib.CacheConfig(max_num_seqs=1, max_model_len=R)
         lc = cache_lib.init_layer_kv(cc, Hkv, D, R)
         k = jax.random.normal(jax.random.PRNGKey(0), (T, Hkv, D))
@@ -86,18 +86,20 @@ class TestPartialChunkRing:
         assert np.all(got[:, n_valid:] == 0)
 
     def test_valid_exceeds_ring_keeps_last_R(self):
-        Hkv, D, R, T, n_valid = 1, 4, 128, 256, 200
+        Hkv, D, R, T, n_valid = 1, 4, 512, 1024, 800
         cc = cache_lib.CacheConfig(max_num_seqs=1, max_model_len=R)
         lc = cache_lib.init_layer_kv(cc, Hkv, D, R)
-        k = jnp.arange(T, dtype=jnp.float32)[:, None, None].repeat(
-            Hkv, 1).repeat(D, 2)
+        # values are position mod 200 (bf16-exact; 200 is coprime-ish with
+        # R=512 so a ring-aliased position p-R carries a different value)
+        vals = jnp.arange(T, dtype=jnp.float32) % 200
+        k = vals[:, None, None].repeat(Hkv, 1).repeat(D, 2)
         lc = cache_lib.write_prefill_kv(lc, jnp.int32(0), k, k,
                                         jnp.arange(T),
                                         jnp.arange(T) < n_valid)
         got = np.asarray(lc["k"][0, 0, :, 0])   # ring values by index
-        # the last R valid positions (72..199) live at p mod R
+        # the last R valid positions live at p mod R
         for p in range(n_valid - R, n_valid):
-            assert got[p % R] == p, (p, got[p % R])
+            assert got[p % R] == p % 200, (p, got[p % R])
 
     def test_engine_chunk_exceeds_ring_matches_small_chunk(self):
         """Engine-level: prefill_chunk > ring with a partial final chunk
@@ -106,16 +108,16 @@ class TestPartialChunkRing:
         corrupted generations before the fix)."""
         from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
         from vllm_hymeta_tpu.engine.sampler import SamplingParams
-        cfg = tiny_glaswa()                  # window_keys=9 -> ring 128
+        cfg = tiny_glaswa()                  # window_keys=9 -> ring 512
         params = gla_swa.init_params(cfg, jax.random.PRNGKey(5),
                                      dtype=jnp.float32)
         prompt = np.random.RandomState(0).randint(
-            0, cfg.vocab_size, size=356).tolist()   # final chunk n_valid=100
+            0, cfg.vocab_size, size=1324).tolist()  # final chunk n_valid=300
         sp = SamplingParams(max_tokens=8, temperature=0.0, ignore_eos=True)
         outs = []
-        for chunk in (256, 64):
+        for chunk in (1024, 256):
             eng = Engine(cfg, params, EngineConfig(
-                max_num_seqs=2, max_model_len=512, prefill_chunk=chunk,
+                max_num_seqs=2, max_model_len=2048, prefill_chunk=chunk,
                 prefill_buckets=(chunk,)))
             outs.append(eng.generate([prompt], sp)[0].output)
         assert outs[0] == outs[1], outs

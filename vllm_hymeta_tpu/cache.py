@@ -41,10 +41,15 @@ class CacheConfig:
 
 def ring_len(window_keys: int, max_model_len: int) -> int:
     """Ring capacity for a layer: window (rounded for tiling) or the full
-    context for global-attention layers (window_keys == 0)."""
+    context for global-attention layers (window_keys == 0).
+
+    Windowed rings round up to 512 so the prefill context length is a
+    multiple of the splash kernel's kv block — a block-aligned LocalMask
+    offset measures ~10% faster than a fractional one (4224 -> 4608 on
+    the 7B: 2.50 -> 2.26 ms per 28-head 4k-chunk call on v5e)."""
     if window_keys == 0:
         return _round_up(max_model_len, 128)
-    return _round_up(window_keys, 128)
+    return _round_up(window_keys, 512)
 
 
 def init_layer_kv(cc: CacheConfig, n_kv_heads: int, head_dim: int,

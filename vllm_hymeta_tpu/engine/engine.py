@@ -127,12 +127,16 @@ class Engine:
             params = self.params
             self._local_prefill = pstep.make_local_prefill(
                 cfg, mesh, self.params, self.cache, self.meta)
+            self._local_prefill_mid = pstep.make_local_prefill(
+                cfg, mesh, self.params, self.cache, self.meta,
+                need_logits=False)
             self._local_prefill_group = pstep.make_local_prefill_group(
                 cfg, mesh, self.params, self.cache, self.meta)
             self._local_decode = pstep.make_local_decode(
                 cfg, mesh, self.params, self.cache, self.meta)
         else:
             self._local_prefill = None
+            self._local_prefill_mid = None
             self._local_prefill_group = None
             self._local_decode = None
 
@@ -199,24 +203,31 @@ class Engine:
 
     # ------------------------------------------------------- step functions
 
-    def _prefill_fn(self, bucket: int):
-        """Prefill chunk + on-device first-token sampling in one program
-        (the sampled id is only consumed by the host on the final chunk)."""
-        if bucket in self._compiled_prefill:
-            return self._compiled_prefill[bucket]
+    def _prefill_fn(self, bucket: int, final: bool = True):
+        """Prefill chunk + (on final chunks) on-device first-token
+        sampling in one program.  Mid-prompt chunks skip the LM head read
+        and sampling entirely — only the cache writes matter."""
+        key_ = (bucket, final)
+        if key_ in self._compiled_prefill:
+            return self._compiled_prefill[key_]
 
         def fn(params, meta, cache, samp, tokens, slot, pos0, n_valid,
                key):
             if self._local_prefill is not None:
-                logits, cache = self._local_prefill(
+                lp_fn = self._local_prefill if final \
+                    else self._local_prefill_mid
+                logits, cache = lp_fn(
                     params, meta, cache, tokens, slot, pos0, n_valid)
             elif self.is_hymeta:
                 logits, cache = self.model.prefill(
                     self.cfg, params, meta, cache, tokens, slot, pos0,
-                    n_valid)
+                    n_valid, need_logits=final)
             else:
                 logits, cache = self.model.prefill(
-                    self.cfg, params, cache, tokens, slot, pos0, n_valid)
+                    self.cfg, params, cache, tokens, slot, pos0, n_valid,
+                    need_logits=final)
+            if not final:
+                return jnp.int32(0), (), cache
             lg = logits.astype(jnp.float32)[None]
             lg = sampler_lib.apply_repetition_penalty(
                 lg, samp["seen"][slot][None], samp["rep_penalty"][slot][None])
@@ -230,7 +241,7 @@ class Engine:
             return tok, lp, cache
 
         jfn = jax.jit(fn, donate_argnums=(2,))
-        self._compiled_prefill[bucket] = jfn
+        self._compiled_prefill[key_] = jfn
         return jfn
 
     def _prefill_batched_fn(self, bucket: int, B: int):
@@ -703,7 +714,9 @@ class Engine:
             toks = pre.prompt[pre.prefill_done:pre.prefill_done + n]
             tokens = np.zeros((bucket,), np.int32)
             tokens[:n] = toks
-            fn = self._prefill_fn(bucket)
+            fn = self._prefill_fn(bucket,
+                                  final=(pre.prefill_done + n
+                                         >= len(pre.prompt)))
             self.rng, k = jax.random.split(self.rng)
             tok_dev, lp_dev, self.cache = fn(
                 self.params, self.meta, self.cache, self.samp_state,

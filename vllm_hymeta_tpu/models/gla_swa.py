@@ -213,6 +213,7 @@ def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
             pos0: jax.Array,       # scalar int32: first token's position
             n_valid: jax.Array,    # scalar int32: valid token count
             pctx=NULL_CTX,
+            need_logits: bool = True,
             ) -> Tuple[jax.Array, dict]:
     """Process one prompt chunk for `slot`; returns (last-token logits [V],
     updated cache).  The engine clears slot state before the first chunk.
@@ -272,6 +273,11 @@ def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
                                          cfg.norm_eps)
         x = res + pctx.psum(glu_mlp(lp["mlp"], y))
 
+    if not need_logits:
+        # mid-prompt chunk: only the cache writes matter — skip the
+        # LM head read (+ downstream sampling) entirely
+        return jnp.zeros((cfg.vocab_size,), jnp.float32), \
+            {"layers": new_layers}
     x_last = x[n_valid - 1]
     x_last = naive.rms_norm(x_last, params["final_norm"]["w"], cfg.norm_eps)
     logits = common.lm_head_gather(params["lm_head"], x_last, pctx)

@@ -382,7 +382,8 @@ def forward_full(cfg: HymetaConfig, params: dict,
 
 def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
             tokens: jax.Array, slot: jax.Array, pos0: jax.Array,
-            n_valid: jax.Array, pctx=NULL_CTX) -> Tuple[jax.Array, dict]:
+            n_valid: jax.Array, pctx=NULL_CTX,
+            need_logits: bool = True) -> Tuple[jax.Array, dict]:
     """One prompt chunk for `slot` using the precomputed meta caches.
 
     The engine must initialize the slot's GLA state to meta["state"] before
@@ -461,6 +462,10 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
                                           cfg.norm_eps)
         x = res + _ffn(cfg, lp, y2, pctx=pctx)
 
+    if not need_logits:
+        # mid-prompt chunk: skip the fp32 LM head read + sampling
+        return jnp.zeros((cfg.vocab_size,), jnp.float32), \
+            {"layers": new_layers}
     x_last = x[n_valid - 1]
     x_last = naive.rms_norm(x_last, params["final_norm"]["w"], cfg.norm_eps)
     logits = common.lm_head_gather(params["lm_head"], x_last, pctx)

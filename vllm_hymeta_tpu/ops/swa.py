@@ -188,11 +188,15 @@ def _make_splash(tq: int, tk_p: int, window_keys: int, off: int, rep: int,
         [_splash_mask_lib.LocalMask((tq, tk_p), window_size=(win, 0),
                                     offset=off)
          for _ in range(rep)])
-    return _splash_kernel_lib.make_splash_mqa_single_device(
-        mask,
-        block_sizes=_splash_kernel_lib.BlockSizes(
-            block_q=bq, block_kv=bkv, block_kv_compute=bkv),
-        save_residuals=need_lse)
+    # kernels are lru_cached and may be (re)used across jit traces: build
+    # the mask-info arrays eagerly so no tracer from the first trace is
+    # captured in the cached kernel object
+    with jax.ensure_compile_time_eval():
+        return _splash_kernel_lib.make_splash_mqa_single_device(
+            mask,
+            block_sizes=_splash_kernel_lib.BlockSizes(
+                block_q=bq, block_kv=bkv, block_kv_compute=bkv),
+            save_residuals=need_lse)
 
 
 def _splash_prefill(q, k, v, k_pos, window_keys: int, ctx_len: int,
@@ -528,13 +532,14 @@ def _make_splash_train(t_total: int, window_keys: int, num_meta: int,
     if num_meta > 0:
         mask = mask | _MetaColumnMask(shape, num_meta)
     mhm = _splash_mask_lib.MultiHeadMask([mask for _ in range(rep)])
-    return _splash_kernel_lib.make_splash_mqa_single_device(
-        mhm,
-        block_sizes=_splash_kernel_lib.BlockSizes(
-            block_q=bq, block_kv=bkv, block_kv_compute=bkv,
-            block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
-            block_q_dq=bq, block_kv_dq=bkv,
-            use_fused_bwd_kernel=False))
+    with jax.ensure_compile_time_eval():
+        return _splash_kernel_lib.make_splash_mqa_single_device(
+            mhm,
+            block_sizes=_splash_kernel_lib.BlockSizes(
+                block_q=bq, block_kv=bkv, block_kv_compute=bkv,
+                block_q_dkv=bq, block_kv_dkv=bkv, block_kv_dkv_compute=bkv,
+                block_q_dq=bq, block_kv_dq=bkv,
+                use_fused_bwd_kernel=False))
 
 
 def can_flash_train(t_total: int, head_dim: int) -> bool:

@@ -27,9 +27,10 @@ def _shard_map(fn, mesh, in_specs, out_specs):
 
 
 def make_local_prefill(cfg, mesh: Mesh, params: dict, cache: dict,
-                       meta: Optional[dict]):
+                       meta: Optional[dict], need_logits: bool = True):
     """shard_map-wrapped (un-jitted) prefill(params, meta, cache, tokens,
-    slot, pos0, n_valid) -> (logits [V], cache)."""
+    slot, pos0, n_valid) -> (logits [V], cache).  need_logits=False skips
+    the LM head for mid-prompt chunks."""
     model = get_model(cfg)
     is_hymeta = isinstance(cfg, HymetaConfig)
     pctx = ParallelCtx(model_axis="model", data_axis="data")
@@ -40,9 +41,10 @@ def make_local_prefill(cfg, mesh: Mesh, params: dict, cache: dict,
     def local(params, meta, cache, tokens, slot, pos0, n_valid):
         if is_hymeta:
             return model.prefill(cfg, params, meta, cache, tokens, slot,
-                                 pos0, n_valid, pctx=pctx)
+                                 pos0, n_valid, pctx=pctx,
+                                 need_logits=need_logits)
         return model.prefill(cfg, params, cache, tokens, slot, pos0,
-                             n_valid, pctx=pctx)
+                             n_valid, pctx=pctx, need_logits=need_logits)
 
     return _shard_map(
         local, mesh,
