@@ -45,7 +45,9 @@ def run_scheme(scheme: str, prompt_lens, gen: int, runs: int, chunk: int):
     max_len = max(prompt_lens) + gen + 64
     ecfg = EngineConfig(max_num_seqs=1, max_model_len=max_len,
                         prefill_chunk=chunk, prefill_buckets=(chunk,),
-                        kv_dtype="bfloat16", decode_block=16)
+                        kv_dtype="bfloat16",
+                        decode_block=int(os.environ.get(
+                            "BENCH_DECODE_BLOCK", 32)))
     eng = Engine(cfg, params, ecfg)
     rs = np.random.RandomState(0)
     sp = SamplingParams(temperature=0.0, max_tokens=gen, ignore_eos=True)
