@@ -313,8 +313,8 @@ class TestPrefixCache:
             calls = []
             orig = eng._prefill_fn
 
-            def spy(bucket):
-                f = orig(bucket)
+            def spy(bucket, final=True):
+                f = orig(bucket, final)
 
                 def wrapped(*a, **k):
                     calls.append(bucket)

@@ -88,11 +88,13 @@ def main():
                         prefill_chunk=chunk,
                         prefill_buckets=(chunk,),
                         kv_dtype="bfloat16",
-                        decode_block=16)
+                        decode_block=int(os.environ.get("BENCH_DECODE_BLOCK", 32)))
     eng = Engine(cfg, params, ecfg)
     rs = np.random.RandomState(0)
     prompt = list(rs.randint(0, cfg.vocab_size, size=prompt_len))
-    sp = SamplingParams(temperature=0.0, max_tokens=32, ignore_eos=True)
+    sp = SamplingParams(temperature=0.0,
+                        max_tokens=4 * ecfg.decode_block,
+                        ignore_eos=True)
 
     t0 = time.perf_counter()
     eng.generate([prompt], sp)
