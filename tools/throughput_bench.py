@@ -77,8 +77,14 @@ def main():
     sp = SamplingParams(temperature=0.0, max_tokens=output_len,
                         ignore_eos=True)
 
-    # warmup: compile prefill bucket + decode block on a small batch
-    eng.generate(prompts[: min(4, num_prompts)], sp)
+    # warmup: compile every power-of-two grouped-prefill batch size the
+    # scheduler can pick (a compile landing inside the measured run costs
+    # tens of seconds over the tunnel) + a full-slot decode batch
+    B = 1
+    while B <= min(ecfg.prefill_batch, max_num_seqs):
+        eng.generate(prompts[:B], sp)
+        B *= 2
+    eng.generate(prompts[:max_num_seqs], sp)
 
     metrics = EngineMetrics(eng)
     t0 = time.perf_counter()
@@ -98,7 +104,7 @@ def main():
         "output_len": output_len,
         "max_num_seqs": max_num_seqs,
         "elapsed_s": round(elapsed, 2),
-        "engine": metrics.snap.to_dict(),
+        "engine": metrics.to_dict(),
     }
     print(json.dumps(result))
 
