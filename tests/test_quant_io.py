@@ -310,3 +310,46 @@ class TestDenseHymetaIngestion:
             np.asarray(hymeta.forward_full(cfg, params, toks)),
             np.asarray(hymeta.forward_full(cfg, loaded, toks)),
             atol=1e-5, rtol=1e-5)
+
+
+class TestFormatDetection:
+    def test_awq_not_treated_as_gptq(self, tmp_path):
+        from vllm_hymeta_tpu.quant.io import (is_compressed_tensors_checkpoint,
+                                              is_gptq_checkpoint)
+        d = tmp_path / "awq"
+        os.makedirs(d)
+        with open(d / "config.json", "w") as f:
+            json.dump({"quantization_config": {
+                "quant_method": "awq", "bits": 4, "group_size": 128}}, f)
+        assert not is_gptq_checkpoint(str(d))
+        assert not is_compressed_tensors_checkpoint(str(d))
+
+    def test_legacy_gptq_config_detected(self, tmp_path):
+        from vllm_hymeta_tpu.quant.io import is_gptq_checkpoint
+        d = tmp_path / "gptq"
+        os.makedirs(d)
+        with open(d / "config.json", "w") as f:
+            json.dump({"quantization_config": {
+                "bits": 8, "group_size": 64, "sym": True}}, f)
+        assert is_gptq_checkpoint(str(d))
+
+    def test_groupwise_w8a8_scale_rejected(self, tmp_path):
+        """compressed-tensors group-strategy scales must raise, not load
+        with silently wrong shapes."""
+        import pytest
+        from safetensors.numpy import save_file
+        from vllm_hymeta_tpu.quant.io import load_compressed_w8a8_checkpoint
+        cfg = tiny_glaswa(num_hidden_layers=1)
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+        tensors = _glaswa_dense_tensors(params)
+        w = tensors["model.layers.0.mlp.gate_proj.weight"]
+        tensors["model.layers.0.mlp.gate_proj.weight"] = \
+            np.zeros(w.shape, np.int8)
+        tensors["model.layers.0.mlp.gate_proj.weight_scale"] = \
+            np.ones((w.shape[0], 4), np.float32)     # group strategy
+        d = tmp_path / "grp"
+        os.makedirs(d)
+        save_file(tensors, str(d / "model.safetensors"))
+        with pytest.raises(NotImplementedError, match="group-wise"):
+            load_compressed_w8a8_checkpoint(cfg, str(d), dtype=jnp.float32)

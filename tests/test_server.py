@@ -217,3 +217,44 @@ class TestParallelSampling:
         means = [sum(c["logprobs"]["token_logprobs"]) /
                  len(c["logprobs"]["token_logprobs"]) for c in ch]
         assert means[0] >= means[1]
+
+
+class TestReviewFixes:
+    def test_stop_string_in_final_block_truncates(self, server_tok):
+        """A stop match landing in the same step the request finishes
+        (max_tokens in this case) must still truncate the text and report
+        finish_reason=stop."""
+        st, probe = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [31, 32, 33], "max_tokens": 3,
+            "temperature": 0.0, "ignore_eos": True})
+        text = probe["choices"][0]["text"]
+        stop = text[1]          # inside the single decode block
+        st, body = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [31, 32, 33], "max_tokens": 3,
+            "temperature": 0.0, "ignore_eos": True, "stop": stop})
+        ch = body["choices"][0]
+        assert ch["finish_reason"] == "stop"
+        assert ch["text"] == text[:text.find(stop)]
+
+    def test_chat_n_choices(self, server_tok):
+        st, body = _post(server_tok, "/v1/chat/completions", {
+            "messages": [{"role": "user", "content": "abc"}],
+            "max_tokens": 3, "temperature": 0.9, "ignore_eos": True,
+            "n": 2})
+        assert st == 200, body
+        assert len(body["choices"]) == 2
+
+    def test_best_of_less_than_n_rejected(self, server_tok):
+        st, body = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [1, 2], "max_tokens": 2,
+            "n": 3, "best_of": 2})
+        assert st == 400
+
+    def test_logprobs_tokens_decoded(self, server_tok):
+        st, body = _post(server_tok, "/v1/completions", {
+            "prompt_token_ids": [3, 4, 5], "max_tokens": 3,
+            "temperature": 0.0, "ignore_eos": True, "logprobs": 1})
+        lp = body["choices"][0]["logprobs"]
+        ids = body["choices"][0]["token_ids"]
+        # _CharTok decodes token t to chr(97 + t % 26)
+        assert lp["tokens"] == [chr(97 + (t % 26)) for t in ids]

@@ -62,41 +62,70 @@ class LLM:
                 token_lists.append(self.tokenizer.encode(p))
             else:
                 token_lists.append(list(p))
-        sp = sampling_params
-        stop_strings = bool(sp and sp.stop) and self.tokenizer is not None
+        sp = sampling_params or SamplingParams()
+        if sp.best_of and sp.best_of < sp.n:
+            raise ValueError("best_of must be >= n")
+        count = max(sp.n, sp.best_of or 1)
+        # n/best_of: expand each prompt into `count` engine requests
+        expanded = [p for p in token_lists for _ in range(count)]
+        stop_strings = bool(sp.stop) and self.tokenizer is not None
         if not stop_strings:
-            reqs = self.engine.generate(token_lists, sampling_params)
+            reqs = self.engine.generate(expanded, sp)
         else:
             # drive steps manually so stop strings can cancel mid-flight
-            ids = [self.engine.add_request(p, sp) for p in token_lists]
+            ids = [self.engine.add_request(p, sp) for p in expanded]
             running = {r.req_id: r for r in
                        list(self.engine.waiting)}
             done = {}
+            max_len = max(len(x) for x in sp.stop)
+
+            def check_stops(final=False):
+                for rid, r in list(running.items()):
+                    if rid in done and not final:
+                        continue
+                    if not r.output:
+                        continue
+                    # bounded tail decode (O(1)/step); full decode only
+                    # on a hit, to find the truncation point
+                    tail = self.tokenizer.decode(
+                        r.output[-(max_len + 8):])
+                    m = next((x for x in sp.stop if x in tail), None)
+                    if m is None:
+                        continue
+                    text = self.tokenizer.decode(r.output)
+                    i = text.find(m)
+                    if i < 0:
+                        continue
+                    if not r.finished:
+                        self.engine.cancel_request(rid, "stop")
+                    r.finish_reason = "stop"
+                    r.stop_text = text[:i]
+                    done[rid] = r
+                    running.pop(rid, None)
             while self.engine.has_work():
                 for r in self.engine.step():
                     done[r.req_id] = r
-                for rid, r in list(running.items()):
-                    if r.finished or not r.output:
-                        continue
-                    text = self.tokenizer.decode(r.output)
-                    for sstr in sp.stop:
-                        i = text.find(sstr)
-                        if i >= 0:
-                            self.engine.cancel_request(rid, "stop")
-                            r.stop_text = text[:i]
-                            done[rid] = r
-                            break
+                check_stops()
+            check_stops(final=True)   # stop inside the final block
             reqs = [done[i] for i in ids]
+
+        def _mean_lp(r):
+            return (sum(r.logprobs) / max(len(r.logprobs), 1)
+                    if r.logprobs else 0.0)
         outs = []
-        for r in reqs:
-            text = getattr(r, "stop_text", None)
-            if text is None and self.tokenizer is not None:
-                text = self.tokenizer.decode(r.output)
-            outs.append(CompletionOutput(
-                request_id=r.req_id, token_ids=r.output, text=text,
-                finish_reason=r.finish_reason,
-                logprobs=r.logprobs or None,
-                top_logprobs=r.top_logprobs or None))
+        for j in range(0, len(reqs), count):
+            group = reqs[j:j + count]
+            if sp.best_of and sp.best_of > sp.n:
+                group = sorted(group, key=_mean_lp, reverse=True)[:sp.n]
+            for r in group:
+                text = getattr(r, "stop_text", None)
+                if text is None and self.tokenizer is not None:
+                    text = self.tokenizer.decode(r.output)
+                outs.append(CompletionOutput(
+                    request_id=r.req_id, token_ids=r.output, text=text,
+                    finish_reason=r.finish_reason,
+                    logprobs=r.logprobs or None,
+                    top_logprobs=r.top_logprobs or None))
         return outs
 
 

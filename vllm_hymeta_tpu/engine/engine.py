@@ -164,9 +164,11 @@ class Engine:
             "top_p": jnp.ones((S,), jnp.float32),
             "rep_penalty": jnp.ones((S,), jnp.float32),
             "seen": jnp.zeros((S, cfg.vocab_size), jnp.bool_),
-            # on-device eos stop (lets decode blocks chain without a host
-            # round-trip even when requests stop at eos)
-            "stop_on_eos": jnp.zeros((S,), jnp.bool_),
+            # on-device stop ids (eos + up to 3 stop_token_ids; -1 = none):
+            # a slot goes inactive the step it samples one, so decode
+            # blocks chain without a host round-trip even for stopping
+            # requests
+            "stop_ids": jnp.full((S, 4), -1, jnp.int32),
         }
         # host mirrors
         self.positions = np.zeros((S,), np.int64)
@@ -309,7 +311,7 @@ class Engine:
             return self._compiled_start
 
         def fn(cache, samp, meta, slot, temperature, top_k, top_p,
-               rep_penalty, stop_on_eos):
+               rep_penalty, stop_ids):
             layers = []
             for i, lc in enumerate(cache["layers"]):
                 lc = dict(lc)
@@ -325,7 +327,7 @@ class Engine:
                 "top_p": samp["top_p"].at[slot].set(top_p),
                 "rep_penalty": samp["rep_penalty"].at[slot].set(rep_penalty),
                 "seen": samp["seen"].at[slot].set(False),
-                "stop_on_eos": samp["stop_on_eos"].at[slot].set(stop_on_eos),
+                "stop_ids": samp["stop_ids"].at[slot].set(stop_ids),
             }
             return {**cache, "layers": layers}, samp
 
@@ -368,10 +370,6 @@ class Engine:
                 jnp.where(active, True, seen_rows))
             return ids, lp, cache, samp
 
-        eos_id = self.cfg.eos_token_id
-        if eos_id is None:
-            eos_id = -1  # never matches a sampled id
-
         K = self.ecfg.logprobs_topk
 
         def fn(params, meta, cache, samp, tokens, positions, active, key):
@@ -394,10 +392,11 @@ class Engine:
                            lps[1].at[:, i].set(lp[1]),
                            lps[2].at[:, i].set(lp[2]))
                 positions = positions + active.astype(jnp.int32)
-                # on-device eos stop: the eos token itself is emitted, then
-                # the slot goes inactive for the rest of this block AND any
-                # chained block (the host confirms at harvest)
-                active = active & ~(samp["stop_on_eos"] & (ids == eos_id))
+                # on-device stop: the stopping token itself is emitted,
+                # then the slot goes inactive for the rest of this block
+                # AND any chained block (the host confirms at harvest)
+                hit = jnp.any(samp["stop_ids"] == ids[:, None], axis=1)
+                active = active & ~hit
                 return (ids, positions, active, cache, samp, out, lps)
 
             (tokens, positions, active, cache, samp, out,
@@ -437,11 +436,16 @@ class Engine:
         self.positions[slot] = 0
         p = req.params
         fn = self._start_fn()
+        stop_ids = [] if p.ignore_eos or self.cfg.eos_token_id is None \
+            else [int(self.cfg.eos_token_id)]
+        stop_ids += [int(t) for t in (p.stop_token_ids or [])]
+        stop_ids = (stop_ids + [-1] * 4)[:4]   # device-masked subset; the
+        # host enforces any beyond 4 (only chained-block compute is wasted)
         self.cache, self.samp_state = fn(
             self.cache, self.samp_state, self.meta, jnp.int32(slot),
             jnp.float32(p.temperature), jnp.int32(p.top_k),
             jnp.float32(p.top_p), jnp.float32(p.repetition_penalty),
-            jnp.bool_(not p.ignore_eos))
+            jnp.asarray(stop_ids, jnp.int32))
         hit = self._prefix_lookup(req.prompt)
         if hit is not None:
             key, snap = hit

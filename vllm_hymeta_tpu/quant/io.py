@@ -92,7 +92,9 @@ def load_quantized(path: str) -> dict:
 
 def is_gptq_checkpoint(path: str) -> bool:
     """True when the checkpoint declares a gptq/AutoGPTQ quantization
-    (quantize_config.json, or config.json quant_method gptq)."""
+    (quantize_config.json, or config.json quant_method gptq).  Other
+    packed formats (awq, ...) share tensor names but NOT the bit layout —
+    they are rejected, not mis-unpacked."""
     if os.path.exists(os.path.join(path, "quantize_config.json")):
         return True
     p = os.path.join(path, "config.json")
@@ -100,8 +102,13 @@ def is_gptq_checkpoint(path: str) -> bool:
         return False
     with open(p) as f:
         qc = json.load(f).get("quantization_config", {})
-    return isinstance(qc, dict) and (
-        qc.get("quant_method") == "gptq" or "bits" in qc)
+    if not isinstance(qc, dict):
+        return False
+    method = qc.get("quant_method")
+    if method is not None:
+        return method == "gptq"
+    # legacy gptq configs carry bits/group_size without quant_method
+    return "bits" in qc and "group_size" in qc
 
 
 def is_compressed_tensors_checkpoint(path: str) -> bool:
@@ -165,6 +172,12 @@ def load_compressed_w8a8_checkpoint(cfg, path: str,
         scale = np.asarray(g["weight_scale"], np.float32).reshape(-1)
         if scale.size == 1:                  # per-tensor -> broadcast
             scale = np.full((w.shape[0],), float(scale[0]), np.float32)
+        elif scale.size != w.shape[0]:
+            raise NotImplementedError(
+                f"{prefix}: weight_scale shape "
+                f"{np.asarray(g['weight_scale']).shape} is neither "
+                f"per-tensor nor per-channel [{w.shape[0]}] — group-wise "
+                "compressed-tensors strategies are unsupported")
         zp = g.get("weight_zero_point")
         if zp is not None and np.any(np.asarray(zp) != 0):
             raise NotImplementedError(

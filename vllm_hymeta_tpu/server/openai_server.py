@@ -47,27 +47,52 @@ class ServingEngine:
         self.thread.start()
 
     def _check_stop_strings(self):
-        """Stop-string enforcement (vLLM `stop`): decode each watched
-        request's output and cancel at the first match; the response text
-        is truncated before the match.  Caller holds the lock."""
-        if self.tokenizer is None or not self.stop_watch:
+        """Stop-string enforcement (vLLM `stop`): scan each watched
+        request for the first match; generation is cancelled and the
+        response text truncated before the match.  Requests that finished
+        THIS step (eos/length landing in the same decode block) are still
+        scanned so a stop string inside the final block truncates.
+        Caller holds the lock."""
+        if not self.stop_watch:
             return []
         hit = []
         for rid, req in list(self.stop_watch.items()):
-            if req.finished:
-                self.stop_watch.pop(rid, None)
+            if self.tokenizer is None:
+                # token-id-only server: stop strings can't be checked —
+                # drop the watch entry (no leak); stop_token_ids still
+                # apply in the engine
+                if req.finished:
+                    self.stop_watch.pop(rid, None)
                 continue
             if not req.output:
+                if req.finished:
+                    self.stop_watch.pop(rid, None)
                 continue
-            text = self.tokenizer.decode(req.output)
-            for sstr in (req.params.stop or ()):
-                i = text.find(sstr)
+            # bounded tail decode: a stop string of L chars spans at most
+            # L tokens, so scanning the last (L + 8)-token tail each step
+            # is O(1) per step instead of O(n) full re-decodes; the full
+            # decode only runs on a hit to compute the truncation point
+            max_len = max(len(x) for x in (req.params.stop or [""]))
+            tail_ids = req.output[-(max_len + 8):]
+            tail = self.tokenizer.decode(tail_ids)
+            matched = next((x for x in (req.params.stop or ())
+                            if x in tail), None)
+            if matched is not None:
+                text = self.tokenizer.decode(req.output)
+                i = text.find(matched)
                 if i >= 0:
-                    self.engine.cancel_request(rid, "stop")
+                    was_finished = req.finished
+                    if not was_finished:
+                        self.engine.cancel_request(rid, "stop")
+                    req.finish_reason = "stop"
                     req.stop_text = text[:i]
                     self.stop_watch.pop(rid, None)
-                    hit.append(req)
-                    break
+                    if not was_finished:
+                        # finished here, not by step(): deliver it
+                        hit.append(req)
+                    continue
+            if req.finished:
+                self.stop_watch.pop(rid, None)
         return hit
 
     def _loop(self):
@@ -136,6 +161,17 @@ class ServingEngine:
     def shutdown(self):
         self.running = False
         self.thread.join(timeout=5)
+
+
+def _select_best_of(reqs, params):
+    """Keep the n best candidates by mean token logprob when
+    best_of > n (falls back to arrival order without logprobs)."""
+    if params.best_of and params.best_of > params.n:
+        def score(r):
+            return (sum(r.logprobs) / max(len(r.logprobs), 1)
+                    if r.logprobs else 0.0)
+        return sorted(reqs, key=score, reverse=True)[:params.n]
+    return reqs
 
 
 def _params_from_body(body: dict) -> SamplingParams:
@@ -274,15 +310,12 @@ def make_handler(serving: ServingEngine):
                     return self._json(400, {
                         "error": "stream with n/best_of > 1 unsupported"})
                 return self._stream(ids, body, chat=False)
+            if params.best_of and params.best_of < params.n:
+                return self._json(400, {
+                    "error": "best_of must be >= n"})
             count = max(params.n, params.best_of or 1)
-            reqs = serving.submit_many(ids, params, count)
-            if params.best_of and params.best_of > params.n:
-                # rank by mean token logprob (needs logprobs compiled in;
-                # falls back to arrival order otherwise), keep the n best
-                def score(r):
-                    return (sum(r.logprobs) / max(len(r.logprobs), 1)
-                            if r.logprobs else 0.0)
-                reqs = sorted(reqs, key=score, reverse=True)[:params.n]
+            all_reqs = serving.submit_many(ids, params, count)
+            reqs = _select_best_of(all_reqs, params)
             choices = []
             for i, req in enumerate(reqs):
                 text = getattr(req, "stop_text", None)
@@ -295,12 +328,17 @@ def make_handler(serving: ServingEngine):
                     "finish_reason": req.finish_reason,
                 }
                 if req.logprobs:
+                    tok = serving.tokenizer
                     choice["logprobs"] = {
                         "token_logprobs": req.logprobs,
                         "top_logprobs": [
                             {str(k): v for k, v in d.items()}
                             for d in req.top_logprobs],
-                        "tokens": [str(t) for t in req.output],
+                        # decoded token pieces when a tokenizer exists
+                        # (OpenAI schema), id strings otherwise
+                        "tokens": ([tok.decode([t]) for t in req.output]
+                                   if tok is not None
+                                   else [str(t) for t in req.output]),
                     }
                 choices.append(choice)
             req = reqs[0]
@@ -311,11 +349,13 @@ def make_handler(serving: ServingEngine):
                 "model": serving.model_name,
                 "choices": choices,
                 "usage": {
+                    # all generated candidates count, incl. best_of
+                    # discards (OpenAI bills the discarded completions)
                     "prompt_tokens": len(ids),
                     "completion_tokens": sum(
-                        len(r.output) for r in reqs),
+                        len(r.output) for r in all_reqs),
                     "total_tokens": len(ids) + sum(
-                        len(r.output) for r in reqs),
+                        len(r.output) for r in all_reqs),
                 },
             })
 
@@ -329,24 +369,33 @@ def make_handler(serving: ServingEngine):
                 text = "\n".join(f"{m.get('role')}: {m.get('content')}"
                                  for m in msgs) + "\nassistant:"
                 ids = self._encode(text)
+            params = _params_from_body(body)
             if body.get("stream"):
+                if max(params.n, params.best_of or 1) > 1:
+                    return self._json(400, {
+                        "error": "stream with n/best_of > 1 unsupported"})
                 return self._stream(list(ids), body, chat=True)
-            req = serving.submit(list(ids), _params_from_body(body))
-            text = getattr(req, "stop_text", None)
-            if text is None:
-                text = self._decode(req.output)
+            count = max(params.n, params.best_of or 1)
+            reqs = serving.submit_many(list(ids), params, count)
+            reqs = _select_best_of(reqs, params)
+            choices = []
+            for i, req in enumerate(reqs):
+                text = getattr(req, "stop_text", None)
+                if text is None:
+                    text = self._decode(req.output)
+                choices.append({
+                    "index": i,
+                    "message": {"role": "assistant",
+                                "content": text if text is not None else "",
+                                "token_ids": req.output},
+                    "finish_reason": req.finish_reason,
+                })
             self._json(200, {
                 "id": f"chatcmpl-{uuid.uuid4().hex[:24]}",
                 "object": "chat.completion",
                 "created": int(time.time()),
                 "model": serving.model_name,
-                "choices": [{
-                    "index": 0,
-                    "message": {"role": "assistant",
-                                "content": text if text is not None else "",
-                                "token_ids": req.output},
-                    "finish_reason": req.finish_reason,
-                }],
+                "choices": choices,
             })
 
     return Handler
