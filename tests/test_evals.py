@@ -206,9 +206,10 @@ class TestIFEvalRules:
         ok, v = check("The quick fox", ["change_case:english_capital",
                                         "punctuation:no_comma"], [{}, {}])
         assert not ok and v == [False, True]
-        # unknown ids -> None, excluded from strict all
+        # unknown ids -> None verdict, scored NOT-followed in strict_all
+        # (conservative vs the official checker; ADVICE r3)
         ok, v = check("x", ["not:a_rule"], [{}])
-        assert ok and v == [None]
+        assert not ok and v == [None]
 
     def test_gen_accuracy_ifeval_mode(self):
         """End-to-end: the gen scorer applies the rule checker when the

@@ -386,3 +386,35 @@ def test_train_window_attention_backward():
     g_n = jax.grad(loss_naive, argnums=(0, 1, 2))(q, k, v)
     for a, b, name in zip(g_f, g_n, "qkv"):
         assert _rms(a, b) < 5e-2, (name, _rms(a, b))
+
+
+@pytest.mark.parametrize("M,K,N,int8_act", [
+    (1, 3584, 4608, True), (1, 18944, 3584, True), (1, 3584, 37888, True),
+    (16, 3584, 3584, True), (1, 18944, 3584, False), (1, 3584, 4608, False),
+])
+def test_int4g_matvec_matches_ref(M, K, N, int8_act):
+    """Grouped-s4 decode matvec (round 4): in-program packed->s4
+    conversion + batched per-group dot vs the dequant reference."""
+    from vllm_hymeta_tpu.ops import quant_matmul as qm
+    key = jax.random.PRNGKey(3)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    g = 64
+    G = K // g
+    x = jax.random.normal(k1, (M, K), jnp.bfloat16)
+    qw = jax.random.randint(k2, (K, N), -8, 8, jnp.int8)
+    qw4 = qm.pack_int4(qw)
+    sc = (jax.random.uniform(k3, (G, N), jnp.float32) * 2e-3 + 1e-3)
+    zr = jax.random.randint(k4, (G, N), -8, 8, jnp.int32).astype(jnp.float32)
+
+    @jax.jit
+    def run(x, qw4, sc, zr):
+        w4g = qm.qw4_to_grouped_s4(qw4, g)
+        s3 = sc.astype(jnp.bfloat16).reshape(G, 1, N)
+        z3 = zr.astype(jnp.bfloat16).reshape(G, 1, N)
+        return qm.int4g_matvec(x, w4g, s3, z3, int8_act=int8_act)
+
+    out = np.asarray(run(x, qw4, sc, zr))
+    ref = np.asarray(qm.int4_matmul_ref(x, qw4, sc, zr))
+    assert np.isfinite(out).all()
+    tol = 2e-2 if int8_act else 8e-3
+    assert _rms(out, ref) < tol, _rms(out, ref)

@@ -13,6 +13,41 @@ from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
 from vllm_hymeta_tpu.engine.sampler import SamplingParams  # re-export
 
 
+def scan_stop_strings(tokenizer, output, stops, new_tokens: int):
+    """Shared stop-string scanner (used by LLM.generate and the OpenAI
+    server): find the first stop string in the decoded output, scanning a
+    CHAR-bounded tail so matches can't slip past either of two windows
+    that a token-count tail gets wrong (ADVICE r3):
+      * more than `new_tokens` tokens may have been emitted since the
+        last scan (decode blocks) — the tail always covers them;
+      * tokens can decode to empty strings, so a fixed token count may
+        cover fewer chars than the stop string — the tail grows until it
+        holds >= max_stop_len - 1 chars BEFORE the new tokens.
+
+    Returns (matched_stop, text_before_match) or (None, None).
+    """
+    if not stops or not output:
+        return None, None
+    max_len = max(len(x) for x in stops)
+    n = len(output)
+    take = min(n, max(new_tokens, 1) + 1)
+    while take < n:
+        # chars preceding the newly-emitted tokens inside the tail
+        head = tokenizer.decode(output[n - take:n - min(new_tokens, take)])
+        if len(head) >= max_len - 1:
+            break
+        take = min(n, take * 2)
+    tail = tokenizer.decode(output[n - take:])
+    matched = next((x for x in stops if x in tail), None)
+    if matched is None:
+        return None, None
+    text = tokenizer.decode(output)
+    i = text.find(matched)
+    if i < 0:  # pragma: no cover - tokenizer round-trip quirk
+        return None, None
+    return matched, text[:i]
+
+
 class LLM:
     """Offline inference entry point.
 
@@ -65,6 +100,19 @@ class LLM:
         sp = sampling_params or SamplingParams()
         if sp.best_of and sp.best_of < sp.n:
             raise ValueError("best_of must be >= n")
+        if (sp.best_of and sp.best_of > sp.n
+                and self.engine.ecfg.logprobs_topk <= 0):
+            # without captured logprobs, candidates can't be ranked —
+            # selecting by arrival order would silently return arbitrary
+            # completions (ADVICE r3)
+            raise ValueError(
+                "best_of > n requires logprob capture: construct "
+                "LLM(..., logprobs_topk=1) (vLLM ranks by cumulative "
+                "logprob)")
+        if sp.best_of and sp.best_of > sp.n and sp.logprobs <= 0:
+            # force chosen-token logprob capture so ranking is real
+            import dataclasses as _dc
+            sp = _dc.replace(sp, logprobs=1)
         count = max(sp.n, sp.best_of or 1)
         # n/best_of: expand each prompt into `count` engine requests
         expanded = [p for p in token_lists for _ in range(count)]
@@ -77,7 +125,7 @@ class LLM:
             running = {r.req_id: r for r in
                        list(self.engine.waiting)}
             done = {}
-            max_len = max(len(x) for x in sp.stop)
+            scanned = {rid: 0 for rid in running}
 
             def check_stops(final=False):
                 for rid, r in list(running.items()):
@@ -85,21 +133,16 @@ class LLM:
                         continue
                     if not r.output:
                         continue
-                    # bounded tail decode (O(1)/step); full decode only
-                    # on a hit, to find the truncation point
-                    tail = self.tokenizer.decode(
-                        r.output[-(max_len + 8):])
-                    m = next((x for x in sp.stop if x in tail), None)
+                    new = len(r.output) - scanned.get(rid, 0)
+                    scanned[rid] = len(r.output)
+                    m, prefix = scan_stop_strings(
+                        self.tokenizer, r.output, sp.stop, new)
                     if m is None:
-                        continue
-                    text = self.tokenizer.decode(r.output)
-                    i = text.find(m)
-                    if i < 0:
                         continue
                     if not r.finished:
                         self.engine.cancel_request(rid, "stop")
                     r.finish_reason = "stop"
-                    r.stop_text = text[:i]
+                    r.stop_text = prefix
                     done[rid] = r
                     running.pop(rid, None)
             while self.engine.has_work():
@@ -109,14 +152,14 @@ class LLM:
             check_stops(final=True)   # stop inside the final block
             reqs = [done[i] for i in ids]
 
-        def _mean_lp(r):
-            return (sum(r.logprobs) / max(len(r.logprobs), 1)
-                    if r.logprobs else 0.0)
+        def _cum_lp(r):
+            # vLLM ranks best_of candidates by CUMULATIVE logprob
+            return sum(r.logprobs) if r.logprobs else 0.0
         outs = []
         for j in range(0, len(reqs), count):
             group = reqs[j:j + count]
             if sp.best_of and sp.best_of > sp.n:
-                group = sorted(group, key=_mean_lp, reverse=True)[:sp.n]
+                group = sorted(group, key=_cum_lp, reverse=True)[:sp.n]
             for r in group:
                 text = getattr(r, "stop_text", None)
                 if text is None and self.tokenizer is not None:

@@ -230,16 +230,18 @@ class Engine:
                     need_logits=final)
             if not final:
                 return jnp.int32(0), (), cache
-            lg = logits.astype(jnp.float32)[None]
+            raw = logits.astype(jnp.float32)[None]
             lg = sampler_lib.apply_repetition_penalty(
-                lg, samp["seen"][slot][None], samp["rep_penalty"][slot][None])
+                raw, samp["seen"][slot][None],
+                samp["rep_penalty"][slot][None])
             tok = sampler_lib.sample(
                 lg, key, samp["temperature"][slot][None],
                 samp["top_k"][slot][None], samp["top_p"][slot][None])[0]
             lp = ()
             if self.ecfg.logprobs_topk > 0:
+                # raw model logprobs (OpenAI semantics), not post-penalty
                 lp = sampler_lib.token_logprobs(
-                    lg, tok[None], self.ecfg.logprobs_topk)
+                    raw, tok[None], self.ecfg.logprobs_topk)
             return tok, lp, cache
 
         jfn = jax.jit(fn, donate_argnums=(2,))
@@ -262,16 +264,16 @@ class Engine:
             else:
                 logits, cache = self.model.prefill_batched(
                     self.cfg, params, cache, tokens, slots, pos0, n_valid)
-            lg = logits.astype(jnp.float32)                 # [B, V]
+            raw = logits.astype(jnp.float32)                # [B, V]
             lg = sampler_lib.apply_repetition_penalty(
-                lg, samp["seen"][slots], samp["rep_penalty"][slots])
+                raw, samp["seen"][slots], samp["rep_penalty"][slots])
             toks = sampler_lib.sample(
                 lg, key, samp["temperature"][slots],
                 samp["top_k"][slots], samp["top_p"][slots])
             lp = ()
             if self.ecfg.logprobs_topk > 0:
                 lp = sampler_lib.token_logprobs(
-                    lg, toks, self.ecfg.logprobs_topk)
+                    raw, toks, self.ecfg.logprobs_topk)
             return toks, lp, cache
 
         jfn = jax.jit(fn, donate_argnums=(2,))
@@ -288,16 +290,16 @@ class Engine:
                key):
             logits, cache = self._local_prefill_group(
                 params, meta, cache, tokens, slots, pos0, n_valid)
-            lg = logits.astype(jnp.float32)                 # [B, V]
+            raw = logits.astype(jnp.float32)                # [B, V]
             lg = sampler_lib.apply_repetition_penalty(
-                lg, samp["seen"][slots], samp["rep_penalty"][slots])
+                raw, samp["seen"][slots], samp["rep_penalty"][slots])
             toks = sampler_lib.sample(
                 lg, key, samp["temperature"][slots],
                 samp["top_k"][slots], samp["top_p"][slots])
             lp = ()
             if self.ecfg.logprobs_topk > 0:
                 lp = sampler_lib.token_logprobs(
-                    lg, toks, self.ecfg.logprobs_topk)
+                    raw, toks, self.ecfg.logprobs_topk)
             return toks, lp, cache
 
         jfn = jax.jit(fn, donate_argnums=(2,))
@@ -352,9 +354,9 @@ class Engine:
             else:
                 logits, cache = self.model.decode(
                     self.cfg, params, cache, tokens, positions, active)
-            logits = logits.astype(jnp.float32)
+            raw = logits.astype(jnp.float32)
             logits = sampler_lib.apply_repetition_penalty(
-                logits, samp["seen"], samp["rep_penalty"])
+                raw, samp["seen"], samp["rep_penalty"])
             ids = sampler_lib.sample(
                 logits, key, samp["temperature"], samp["top_k"],
                 samp["top_p"])
@@ -362,7 +364,7 @@ class Engine:
             lp = ()
             if self.ecfg.logprobs_topk > 0:
                 lp = sampler_lib.token_logprobs(
-                    logits, ids, self.ecfg.logprobs_topk)
+                    raw, ids, self.ecfg.logprobs_topk)
             samp = dict(samp)
             seen_rows = samp["seen"][jnp.arange(ids.shape[0]), ids]
             samp["seen"] = samp["seen"].at[
@@ -371,8 +373,15 @@ class Engine:
             return ids, lp, cache, samp
 
         K = self.ecfg.logprobs_topk
+        single_device = self._local_decode is None
 
         def fn(params, meta, cache, samp, tokens, positions, active, key):
+            if single_device:
+                # per-block preamble, hoisted above the fori_loop: INT4
+                # tensors -> grouped-s4 layout (native int4 HBM reads);
+                # no-op for bf16/w8a8 layouts
+                from vllm_hymeta_tpu.models import common as _common
+                params = _common.prepare_decode_params(params)
             S = tokens.shape[0]
             out0 = jnp.zeros((S, n_steps), jnp.int32)
             lp0 = ()

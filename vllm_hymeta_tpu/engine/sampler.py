@@ -105,12 +105,13 @@ def sample(logits: jax.Array,        # [S, V] fp32
                         lambda _: greedy_ids, None)
 
 
-def token_logprobs(logits: jax.Array,    # [S, V] fp32 (post-penalty)
+def token_logprobs(logits: jax.Array,    # [S, V] fp32 RAW model logits
                    ids: jax.Array,       # [S] sampled token ids
                    topk: int):
-    """Log-probabilities of the processed distribution (vLLM semantics:
-    the distribution the token was drawn from, before temperature — the
-    OpenAI API reports untempered model logprobs).
+    """Log-probabilities of the RAW model distribution (OpenAI semantics:
+    reported logprobs are the model's, unaffected by repetition penalty or
+    temperature — callers pass the pre-processing logits; the sampling
+    distribution may differ).
 
     Returns (chosen [S] fp32, top_ids [S, topk] int32, top_lp [S, topk]).
     """

@@ -227,10 +227,12 @@ def check(response: str, instruction_id_list: List[str],
           ) -> Tuple[bool, List[Optional[bool]]]:
     """Returns (strict_all_followed, per_instruction verdicts).
 
-    Unknown instruction ids yield None and make strict_all False ONLY if
-    some known instruction also failed — they are excluded from the
-    all() so partial rule coverage biases neither way; callers can count
-    Nones for coverage reporting.
+    Unknown instruction ids yield a None verdict and score as
+    NOT-followed in strict_all — the conservative choice relative to the
+    official checker (which implements every rule): an example whose
+    instructions we can't verify must not count as correct (ADVICE r3:
+    excluding them inflated strict accuracy).  Callers can count Nones
+    to report rule coverage alongside the score.
     """
     kwargs_list = kwargs_list or [{} for _ in instruction_id_list]
     verdicts: List[Optional[bool]] = []
@@ -244,5 +246,4 @@ def check(response: str, instruction_id_list: List[str],
             verdicts.append(bool(fn(response, **kw)))
         except Exception:
             verdicts.append(False)
-    known = [v for v in verdicts if v is not None]
-    return (all(known) if known else True), verdicts
+    return all(v is True for v in verdicts), verdicts

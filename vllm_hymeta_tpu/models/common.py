@@ -174,6 +174,40 @@ def _repack_row_int4(lp: dict, tp: int):
             visit(lp[mkey])
 
 
+def prepare_decode_params(params: dict) -> dict:
+    """Decode-program preamble: convert every split-half-packed INT4
+    tensor to the grouped-s4 layout consumed by ops.quant_matmul.
+    int4g_matvec ("qw4g" s4 [G, g, N] + bf16 [G, 1, N] group params).
+
+    Called INSIDE the jitted decode-block program, before the fori_loop,
+    so the conversion runs once per block (s4 arrays cannot cross the jit
+    boundary — see ops/quant_matmul.py).  No-op off-TPU and for non-INT4
+    layouts."""
+    if jax.default_backend() not in ("tpu", "axon"):
+        return params
+    from vllm_hymeta_tpu.ops.quant_matmul import qw4_to_grouped_s4
+
+    def visit(node):
+        if isinstance(node, dict):
+            if "qw4" in node and "scales" in node:
+                K2, N = node["qw4"].shape
+                G = node["scales"].shape[0]
+                gsz = 2 * K2 // G
+                out = dict(node)
+                out["qw4g"] = qw4_to_grouped_s4(node["qw4"], gsz)
+                out["s4_scales"] = node["scales"].astype(
+                    jnp.bfloat16).reshape(G, 1, N)
+                out["s4_zeros"] = node["zeros"].astype(
+                    jnp.bfloat16).reshape(G, 1, N)
+                return out
+            return {k: visit(v) for k, v in node.items()}
+        if isinstance(node, list):
+            return [visit(v) for v in node]
+        return node
+
+    return visit(params)
+
+
 def repeat_kv_heads(x: jax.Array, rep: int) -> jax.Array:
     """GQA repeat along the heads axis (torch repeat_interleave semantics,
     `hf_model/linear_attention.py:24-33`). x: [..., Hkv, D]."""

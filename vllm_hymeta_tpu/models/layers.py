@@ -31,6 +31,12 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
             # compute-bound prefill takes the INT8 shadow on the MXU's
             # int8 path; bandwidth-bound decode streams the INT4 packing
             y = quant_matmul.w8a8_matmul(x, p["qw8"], p["w8_scale"])
+        elif "qw4g" in p and rows <= 64:
+            # grouped-s4 decode matvec (prepare_decode_params layout):
+            # native int4 reads at ~570 GB/s-of-int4 vs ~330 for the
+            # VPU-unpack kernel below
+            y = quant_matmul.int4g_matvec(x, p["qw4g"], p["s4_scales"],
+                                          p["s4_zeros"])
         else:
             y = quant_matmul.int4_matmul(x, p["qw4"], p["scales"],
                                          p["zeros"])

@@ -14,11 +14,17 @@ dispatchers pick Pallas on TPU backends.
 from __future__ import annotations
 
 import functools
+import os
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+# decode-path activation precision for grouped-s4 INT4 linears:
+# "int8" (W4A8, fastest) or "bf16" (W4A16, reference semantics)
+_INT4_ACT_DEFAULT = os.environ.get("INT4_DECODE_ACT", "int8") != "bf16"
 
 
 def _on_tpu() -> bool:
@@ -332,6 +338,20 @@ def _w8a8_matmul_pallas(qx, x_scale, qw, w_scale, out_dtype,
     )(qx, x_scale, qw, w_scale.reshape(1, -1))
 
 
+def _full_k_bn(K: int, N: int, budget: int = 2_500_000) -> int:
+    """bn for the full-K decode matvec: largest divisor of N (multiple of
+    128) whose int8 weight tile K*bn fits the per-buffer VMEM budget.
+    Round-4 chained-loop probe (tools/decode_matvec_probe.py): full-K
+    blocks beat the old bk=4736 split 0.090 vs 0.105 ms/step on the
+    down_proj shape — XLA's k-grid input slicing showed up as extra
+    `slice-done s8[4736,3584]` copies in the device trace."""
+    best = 0
+    for bn in range(128, N + 1, 128):
+        if N % bn == 0 and K * bn <= budget:
+            best = bn
+    return best
+
+
 def _pick_tile(n: int, mult: int, lo: int, hi: int) -> int:
     """Largest divisor of n in [lo, hi] that is a multiple of mult (0 if
     none) — Mosaic requires block dims at sublane/lane multiples, and a
@@ -364,10 +384,15 @@ def w8a8_matmul(x, qw, w_scale, out_dtype=None):
             x_scale = jnp.pad(x_scale, ((0, pad), (0, 0)))
         K = qx.shape[1]
         N = qw.shape[1]
-        # reduction tile MUST divide the K walk: an out-of-bounds K block
-        # would read garbage weights against live activation columns.
-        if K <= 4736:
+        # full-K single block when a [K, bn] tile fits VMEM (it does for
+        # every 7B/70B shape): one K step, no XLA-side input slicing
+        bn = _full_k_bn(K, N)
+        if bn:
             bk = K
+        elif K <= 4736:
+            bk = K
+            bn_cap = max(512, (6 * 1024 * 1024 // bk) // 128 * 128)
+            bn = _pick_tile(N, 128, 512, min(2048, bn_cap)) or 512
         else:
             bk = _pick_tile(K, 32, 1024, 4736)
             if bk == 0:
@@ -375,10 +400,8 @@ def w8a8_matmul(x, qw, w_scale, out_dtype=None):
                 # partial block is harmless (0 * garbage == 0)
                 bk = 4096
                 qx = jnp.pad(qx, ((0, 0), (0, (-K) % bk)))
-        # scoped VMEM is 16MB: keep the double-buffered weight tile under
-        # ~12MB (bk*bn*2 bytes for int8 + headroom for x/scales/acc)
-        bn_cap = max(512, (6 * 1024 * 1024 // bk) // 128 * 128)
-        bn = _pick_tile(N, 128, 512, min(2048, bn_cap)) or 512
+            bn_cap = max(512, (6 * 1024 * 1024 // bk) // 128 * 128)
+            bn = _pick_tile(N, 128, 512, min(2048, bn_cap)) or 512
         y = _w8a8_matmul_pallas(qx, x_scale, qw, w_scale,
                                 out_dtype=out_dtype,
                                 bm=32, bn=bn, bk=bk)[:orig_m]
@@ -577,6 +600,167 @@ def _pick_bk_bn_matvec(half: int, N: int, g: int):
     if best is None:
         return 0, 0
     return best[1], best[2]
+
+
+# ---------------------------------------------------------------------------
+# grouped-s4 decode matvec (native int4 storage, hardware unpack)
+# ---------------------------------------------------------------------------
+# Round-4 finding (tools/ probes, chained-loop timing on v5e): the MXU/
+# memory system reads NATIVE s4 (jnp.int4) arrays at ~570 GB/s-of-int4,
+# while any VPU bit-twiddling unpack caps the split-half packed kernel at
+# ~330 GB/s — the s4 route is 1.8x faster and is the only path that gets
+# INT4 decode meaningfully under the INT8 byte floor (VERDICT r3 item 2).
+#
+# Two constraints shape the design:
+#   * s4 arrays cannot cross a jit boundary on this runtime (plugin layout
+#     bug: device_put recurses on sub-byte layouts), so weights persist as
+#     split-half packed int8 and `prepare_decode_params` converts to s4
+#     INSIDE the decode program, once per decode block (hoisted above the
+#     fori_loop; ~0.25 ms/step amortized at decode_block=32).
+#   * s4 reshapes that change the minor dimension miscompile (verified),
+#     so conversion only ever reshapes along major dims: [K, N] ->
+#     [G, g, N].
+#
+# Kernel: grid (N/bn, G/perk); per step a [perk, g, bn] s4 tile is
+# converted to int8 (hardware-assisted) and contracted per group with the
+# activation tile via a batched int8 dot; GPTQ group scales/zeros apply in
+# an fp32 epilogue using per-group activation sums:
+#   y[n] = sum_g s[g,n] * (sum_{k in g} x[k] q[k,n]  -  z[g,n] * xs[g]).
+
+def qw4_to_grouped_s4(qw4: jax.Array, group_size: int) -> jax.Array:
+    """In-jit: split-half packed int8 [K/2, N] -> s4 [G, g, N]."""
+    w8 = unpack_int4(qw4)                       # int8 [K, N]
+    K, N = w8.shape
+    G = K // group_size
+    return w8.astype(jnp.int4).reshape(G, group_size, N)
+
+
+def _int4g_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+                  k_steps: int, int8_act: bool):
+    ik = pl.program_id(1)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xg = x_ref[:]                                # [perk, M, g]
+    if int8_act:
+        w = w_ref[:].astype(jnp.int8)            # [perk, g, bn]
+        p = jax.lax.dot_general(
+            xg, w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)    # [perk, M, bn]
+        p = p.astype(jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=2).astype(jnp.float32)
+    else:
+        w = w_ref[:].astype(jnp.bfloat16)
+        p = jax.lax.dot_general(
+            xg, w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=2)
+    s = s_ref[:, 0].astype(jnp.float32)          # [perk, bn]
+    z = z_ref[:, 0].astype(jnp.float32)
+    y = (p - z[:, None, :] * xsum[:, :, None]) * s[:, None, :]
+    acc_ref[:] += jnp.sum(y, axis=0)
+
+    @pl.when(ik == k_steps - 1)
+    def _():
+        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+
+
+@functools.lru_cache(maxsize=256)
+def _pick_perk_bn(G: int, N: int, g: int):
+    """(perk, bn) minimizing grid steps with the s4 weight tile
+    perk*g*bn/2 bytes within a ~2.2MB per-buffer budget (double-buffered
+    plus scales stays inside scoped VMEM).  perk has no tiling constraint
+    (only the last two block dims are constrained on TPU)."""
+    budget = 2 * 2_200_000  # /2 below: s4 tile bytes = perk*g*bn/2
+    best = None
+    for perk in range(1, G + 1):
+        if G % perk:
+            continue
+        for bn in range(128, N + 1, 128):
+            if N % bn or perk * g * bn > budget:
+                continue
+            steps = (G // perk) * (N // bn)
+            key = (steps, -(perk * g * bn))
+            if best is None or key < best[0]:
+                best = (key, perk, bn)
+    if best is None:
+        return 0, 0
+    return best[1], best[2]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("perk", "bn", "int8_act", "out_dtype"))
+def _int4g_matvec_pallas(xg, w4g, s3, z3, perk, bn, int8_act, out_dtype):
+    """xg [G, M, g] (int8 or bf16); w4g s4 [G, g, N]; s3/z3 [G, 1, N]."""
+    G, M, g = xg.shape
+    N = w4g.shape[2]
+    k_steps = G // perk
+    out = pl.pallas_call(
+        functools.partial(_int4g_kernel, k_steps=k_steps,
+                          int8_act=int8_act),
+        grid=(N // bn, k_steps),
+        in_specs=[
+            pl.BlockSpec((perk, M, g), lambda j, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((perk, g, bn), lambda j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((perk, 1, bn), lambda j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((perk, 1, bn), lambda j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * G * g,
+            bytes_accessed=G * g * N // 2 + G * N * 4 + M * N * 4,
+            transcendentals=0),
+    )(xg, w4g, s3, z3)
+    return out
+
+
+def int4g_matvec(x, w4g, s3, z3, int8_act: Optional[bool] = None):
+    """Decode matvec against grouped-s4 weights (prepare_decode_params
+    layout).  x [..., K] bf16 -> [..., N] bf16.
+
+    int8_act=True quantizes activations per token (W4A8: fastest — the
+    int8 batched group dot); False keeps bf16 activations (W4A16 exact,
+    reference semantics `hf_7B_model/speed_7B.py:200-203`, ~25% slower).
+    Default from env INT4_DECODE_ACT (int8|bf16)."""
+    if int8_act is None:
+        int8_act = _INT4_ACT_DEFAULT
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    Mrows = x2.shape[0]
+    G, g, N = w4g.shape
+    M = max(8, _round_up_int(Mrows, 8))
+    perk, bn = _pick_perk_bn(G, N, g)
+    assert perk, (G, N, g)
+    if int8_act:
+        xf = x2.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        xscale = jnp.maximum(amax, 1e-6) / 127.0
+        qx = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
+        qx = jnp.pad(qx, ((0, M - Mrows), (0, 0)))
+        xg = qx.reshape(M, G, g).swapaxes(0, 1)
+    else:
+        xb = jnp.pad(x2.astype(jnp.bfloat16), ((0, M - Mrows), (0, 0)))
+        xg = xb.reshape(M, G, g).swapaxes(0, 1)
+    y = _int4g_matvec_pallas(xg, w4g, s3, z3, perk, bn, int8_act,
+                             jnp.float32)[:Mrows]
+    if int8_act:
+        y = y * xscale
+    return y.astype(jnp.bfloat16).reshape(*shape[:-1], N)
+
+
+def _round_up_int(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
 
 
 def int4_matmul(x, qw4, scales, zeros):

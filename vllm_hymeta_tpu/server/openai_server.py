@@ -52,11 +52,15 @@ class ServingEngine:
         response text truncated before the match.  Requests that finished
         THIS step (eos/length landing in the same decode block) are still
         scanned so a stop string inside the final block truncates.
+        Uses the shared char-bounded scanner (engine.api.scan_stop_strings)
+        so matches can't slip past decode blocks or empty-decoding tokens.
         Caller holds the lock."""
         if not self.stop_watch:
             return []
+        from vllm_hymeta_tpu.engine.api import scan_stop_strings
         hit = []
-        for rid, req in list(self.stop_watch.items()):
+        for rid, st in list(self.stop_watch.items()):
+            req, scanned = st
             if self.tokenizer is None:
                 # token-id-only server: stop strings can't be checked —
                 # drop the watch entry (no leak); stop_token_ids still
@@ -68,29 +72,21 @@ class ServingEngine:
                 if req.finished:
                     self.stop_watch.pop(rid, None)
                 continue
-            # bounded tail decode: a stop string of L chars spans at most
-            # L tokens, so scanning the last (L + 8)-token tail each step
-            # is O(1) per step instead of O(n) full re-decodes; the full
-            # decode only runs on a hit to compute the truncation point
-            max_len = max(len(x) for x in (req.params.stop or [""]))
-            tail_ids = req.output[-(max_len + 8):]
-            tail = self.tokenizer.decode(tail_ids)
-            matched = next((x for x in (req.params.stop or ())
-                            if x in tail), None)
+            new = len(req.output) - scanned
+            st[1] = len(req.output)
+            matched, prefix = scan_stop_strings(
+                self.tokenizer, req.output, req.params.stop or (), new)
             if matched is not None:
-                text = self.tokenizer.decode(req.output)
-                i = text.find(matched)
-                if i >= 0:
-                    was_finished = req.finished
-                    if not was_finished:
-                        self.engine.cancel_request(rid, "stop")
-                    req.finish_reason = "stop"
-                    req.stop_text = text[:i]
-                    self.stop_watch.pop(rid, None)
-                    if not was_finished:
-                        # finished here, not by step(): deliver it
-                        hit.append(req)
-                    continue
+                was_finished = req.finished
+                if not was_finished:
+                    self.engine.cancel_request(rid, "stop")
+                req.finish_reason = "stop"
+                req.stop_text = prefix
+                self.stop_watch.pop(rid, None)
+                if not was_finished:
+                    # finished here, not by step(): deliver it
+                    hit.append(req)
+                continue
             if req.finished:
                 self.stop_watch.pop(rid, None)
         return hit
@@ -103,13 +99,13 @@ class ServingEngine:
                 finished = list(finished) + self._check_stop_strings()
                 stream_items = list(self.streams.items())
             for rid, st in stream_items:
-                req, q, sent = st
+                req, q, sent, idx = st
                 out = list(req.output)
                 for tok in out[sent:]:
-                    q.put(("token", tok))
+                    q.put((idx, "token", tok))
                 st[2] = len(out)
                 if req.finished:
-                    q.put(("done", req))
+                    q.put((idx, "done", req))
                     with self.lock:
                         self.streams.pop(rid, None)
             for req in finished:
@@ -134,7 +130,7 @@ class ServingEngine:
             for _ in range(count):
                 rid = self.engine.add_request(list(prompt_tokens), params)
                 if params.stop:
-                    self.stop_watch[rid] = self.engine.waiting[-1]
+                    self.stop_watch[rid] = [self.engine.waiting[-1], 0]
                 ev = threading.Event()
                 self.events[rid] = ev
                 evs.append((rid, ev))
@@ -145,18 +141,33 @@ class ServingEngine:
             out.append(self.results.pop(rid))
         return out
 
-    def submit_stream(self, prompt_tokens, params: SamplingParams):
-        """Enqueue a request and return a queue of ("token", id) items
-        followed by one ("done", request)."""
+    def submit_stream(self, prompt_tokens, params: SamplingParams,
+                      count: int = 1):
+        """Enqueue `count` requests for one prompt and return a single
+        queue of (choice_idx, "token", id) items, with one
+        (choice_idx, "done", request) per choice (`stream` + n > 1)."""
         q: "queue.Queue" = queue.Queue()
+        rids = []
         with self.lock:
-            rid = self.engine.add_request(prompt_tokens, params)
-            req = self.engine.waiting[-1]
-            assert req.req_id == rid
-            if params.stop:
-                self.stop_watch[rid] = req
-            self.streams[rid] = [req, q, 0]
-        return q
+            for i in range(count):
+                rid = self.engine.add_request(list(prompt_tokens), params)
+                req = self.engine.waiting[-1]
+                assert req.req_id == rid
+                if params.stop:
+                    self.stop_watch[rid] = [req, 0]
+                self.streams[rid] = [req, q, 0, i]
+                rids.append(rid)
+        return q, rids
+
+    def cancel(self, rids):
+        """Abort in-flight requests (client disconnect): frees the slots
+        within one engine step instead of generating to max_tokens."""
+        with self.lock:
+            for rid in rids:
+                self.engine.cancel_request(rid, "abort")
+                self.streams.pop(rid, None)
+                self.stop_watch.pop(rid, None)
+                self.events.pop(rid, None)
 
     def shutdown(self):
         self.running = False
@@ -164,12 +175,14 @@ class ServingEngine:
 
 
 def _select_best_of(reqs, params):
-    """Keep the n best candidates by mean token logprob when
-    best_of > n (falls back to arrival order without logprobs)."""
+    """Keep the n best candidates by CUMULATIVE logprob when best_of > n
+    (vLLM ranking semantics).  Callers guarantee logprob capture — the
+    handlers reject best_of > n when the engine can't score candidates
+    (ADVICE r3: silent arrival-order selection returned arbitrary
+    completions)."""
     if params.best_of and params.best_of > params.n:
         def score(r):
-            return (sum(r.logprobs) / max(len(r.logprobs), 1)
-                    if r.logprobs else 0.0)
+            return sum(r.logprobs) if r.logprobs else 0.0
         return sorted(reqs, key=score, reverse=True)[:params.n]
     return reqs
 
@@ -192,6 +205,27 @@ def _params_from_body(body: dict) -> SamplingParams:
         stop_token_ids=body.get("stop_token_ids"),
         logprobs=int(lp) if lp else 0,
     )
+
+
+def _validate_params(serving, params, body):
+    """Request validation shared by completions/chat; returns an error
+    string or None."""
+    if params.best_of and params.best_of < params.n:
+        return "best_of must be >= n"
+    if (params.best_of and params.best_of > params.n
+            and serving.engine.ecfg.logprobs_topk <= 0):
+        return ("best_of > n requires the server to capture logprobs "
+                "(start with logprobs_topk >= 1)")
+    return None
+
+
+def _maybe_force_logprobs(params):
+    """best_of ranking needs per-token logprobs even when the client
+    didn't ask for them."""
+    if params.best_of and params.best_of > params.n and params.logprobs <= 0:
+        import dataclasses
+        return dataclasses.replace(params, logprobs=1)
+    return params
 
 
 def make_handler(serving: ServingEngine):
@@ -255,46 +289,89 @@ def make_handler(serving: ServingEngine):
             self.wfile.flush()
 
         def _stream(self, ids, body: dict, chat: bool):
-            """SSE streaming for completions/chat (OpenAI `stream: true`)."""
-            q = serving.submit_stream(ids, _params_from_body(body))
+            """SSE streaming for completions/chat (OpenAI `stream: true`).
+
+            Supports n > 1 (choice-indexed chunks from one multiplexed
+            queue).  With stop strings, text is emitted with a
+            (max_stop_len - 1)-char holdback so clients never see a stop
+            string or text past it (vLLM-style); the holdback flushes on
+            finish, truncated at the match.  A failed socket write cancels
+            the engine requests (a dead client must not hold slots to
+            max_tokens)."""
+            params = _params_from_body(body)
+            n = max(params.n, params.best_of or 1)
+            q, rids = serving.submit_stream(ids, params, n)
             self._sse_start()
             rid = (f"chatcmpl-{uuid.uuid4().hex[:24]}" if chat
                    else f"cmpl-{uuid.uuid4().hex[:24]}")
             created = int(time.time())
-            out_ids, prev_text = [], ""
-            while True:
-                kind, val = q.get()
-                if kind == "done":
-                    finish = val.finish_reason
-                    delta = ({"delta": {}} if chat else {"text": ""})
-                    self._sse_send({
-                        "id": rid, "created": created,
-                        "object": ("chat.completion.chunk" if chat
-                                   else "text_completion"),
-                        "model": serving.model_name,
-                        "choices": [{"index": 0, **delta,
-                                     "finish_reason": finish}]})
-                    self.wfile.write(b"data: [DONE]\n\n")
-                    self.wfile.flush()
-                    return
-                out_ids.append(val)
-                text = self._decode(out_ids)
-                piece = (text[len(prev_text):] if text is not None else "")
-                if text is not None:
-                    prev_text = text
+            obj = "chat.completion.chunk" if chat else "text_completion"
+            stops = params.stop or []
+            hold = max((len(s) for s in stops), default=1) - 1
+            out_ids = [[] for _ in range(n)]
+            emitted = [0] * n          # chars already sent per choice
+            done = 0
+
+            def chunk(i, piece, tok_list, finish):
                 if chat:
-                    delta = {"delta": {"role": "assistant",
-                                       "content": piece,
-                                       "token_ids": [val]}}
+                    delta = {"delta": ({"role": "assistant",
+                                        "content": piece,
+                                        "token_ids": tok_list}
+                                       if finish is None else {})}
                 else:
-                    delta = {"text": piece, "token_ids": [val]}
-                self._sse_send({
-                    "id": rid, "created": created,
-                    "object": ("chat.completion.chunk" if chat
-                               else "text_completion"),
-                    "model": serving.model_name,
-                    "choices": [{"index": 0, **delta,
-                                 "finish_reason": None}]})
+                    delta = {"text": piece, "token_ids": tok_list}
+                return {"id": rid, "created": created, "object": obj,
+                        "model": serving.model_name,
+                        "choices": [{"index": i, **delta,
+                                     "finish_reason": finish}]}
+
+            finished = set()
+            try:
+                while done < n:
+                    i, kind, val = q.get()
+                    if i in finished:
+                        continue
+                    if kind == "done":
+                        done += 1
+                        finished.add(i)
+                        text = getattr(val, "stop_text", None)
+                        if text is None:
+                            text = self._decode(out_ids[i]) or ""
+                        piece = text[emitted[i]:]
+                        self._sse_send(chunk(i, piece, [],
+                                             val.finish_reason))
+                        continue
+                    out_ids[i].append(val)
+                    text = self._decode(out_ids[i])
+                    if text is None:
+                        self._sse_send(chunk(i, "", [val], None))
+                        continue
+                    if stops:
+                        # handler-side stop detection: the serving loop's
+                        # scanner is asynchronous, so the handler must
+                        # not emit past a match itself
+                        m = min((text.find(s) for s in stops
+                                 if s in text), default=-1)
+                        if m >= 0:
+                            done += 1
+                            finished.add(i)
+                            serving.cancel([rids[i]])
+                            self._sse_send(chunk(i, text[emitted[i]:m],
+                                                 [], "stop"))
+                            continue
+                    # holdback: never emit the trailing chars a stop
+                    # string could still complete into
+                    safe = len(text) - hold if stops else len(text)
+                    if safe > emitted[i]:
+                        piece = text[emitted[i]:safe]
+                        emitted[i] = safe
+                        self._sse_send(chunk(i, piece, [val], None))
+                    elif not stops:
+                        self._sse_send(chunk(i, "", [val], None))
+                self.wfile.write(b"data: [DONE]\n\n")
+                self.wfile.flush()
+            except (BrokenPipeError, ConnectionResetError, OSError):
+                serving.cancel(rids)
 
         def _completions(self, body: dict):
             if "prompt_token_ids" in body:
@@ -305,14 +382,16 @@ def make_handler(serving: ServingEngine):
                     prompt = prompt[0]
                 ids = self._encode(prompt)
             params = _params_from_body(body)
+            err = _validate_params(serving, params, body)
+            if err is not None:
+                return self._json(400, {"error": err})
             if body.get("stream"):
-                if max(params.n, params.best_of or 1) > 1:
+                if params.best_of and params.best_of > params.n:
                     return self._json(400, {
-                        "error": "stream with n/best_of > 1 unsupported"})
+                        "error": "stream with best_of > n unsupported"})
                 return self._stream(ids, body, chat=False)
-            if params.best_of and params.best_of < params.n:
-                return self._json(400, {
-                    "error": "best_of must be >= n"})
+            lp_requested = params.logprobs > 0
+            params = _maybe_force_logprobs(params)
             count = max(params.n, params.best_of or 1)
             all_reqs = serving.submit_many(ids, params, count)
             reqs = _select_best_of(all_reqs, params)
@@ -327,7 +406,7 @@ def make_handler(serving: ServingEngine):
                     "token_ids": req.output,
                     "finish_reason": req.finish_reason,
                 }
-                if req.logprobs:
+                if req.logprobs and lp_requested:
                     tok = serving.tokenizer
                     choice["logprobs"] = {
                         "token_logprobs": req.logprobs,
@@ -370,11 +449,15 @@ def make_handler(serving: ServingEngine):
                                  for m in msgs) + "\nassistant:"
                 ids = self._encode(text)
             params = _params_from_body(body)
+            err = _validate_params(serving, params, body)
+            if err is not None:
+                return self._json(400, {"error": err})
             if body.get("stream"):
-                if max(params.n, params.best_of or 1) > 1:
+                if params.best_of and params.best_of > params.n:
                     return self._json(400, {
-                        "error": "stream with n/best_of > 1 unsupported"})
+                        "error": "stream with best_of > n unsupported"})
                 return self._stream(list(ids), body, chat=True)
+            params = _maybe_force_logprobs(params)
             count = max(params.n, params.best_of or 1)
             reqs = serving.submit_many(list(ids), params, count)
             reqs = _select_best_of(reqs, params)
