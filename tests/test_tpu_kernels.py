@@ -418,3 +418,27 @@ def test_int4g_matvec_matches_ref(M, K, N, int8_act):
     assert np.isfinite(out).all()
     tol = 2e-2 if int8_act else 8e-3
     assert _rms(out, ref) < tol, _rms(out, ref)
+
+
+def test_gla_chunked_pallas_gqa_matches_ref():
+    """GQA mode (round 4): rep query heads share a KV head's k/v/g AND
+    state — kernel output must equal the repeat-then-run reference."""
+    from vllm_hymeta_tpu.ops import gla_chunk
+    from vllm_hymeta_tpu.ops.gla_chunk_pallas import gla_chunked_pallas
+    key = jax.random.PRNGKey(9)
+    B, Hkv, rep, T, D = 1, 2, 7, 1024, 128
+    Hq = Hkv * rep
+    q = jax.random.normal(key, (B, Hq, T, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.fold_in(key, 1), (B, Hkv, T, D),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.fold_in(key, 2), (B, Hkv, T, D),
+                          jnp.bfloat16)
+    g = -jnp.abs(jax.random.normal(jax.random.fold_in(key, 3),
+                                   (B, Hkv, T, D), jnp.float32)) * 0.1
+    s0 = jax.random.normal(jax.random.fold_in(key, 4), (B, Hkv, D, D),
+                           jnp.float32) * 0.05
+    o_p, s_p = gla_chunked_pallas(q, k, v, g, initial_state=s0)
+    o_r, s_r = gla_chunk._gla_ref_gqa(q, k, v, g, s0, D ** -0.5)
+    assert o_p.shape == (B, Hq, T, D) and s_p.shape == (B, Hkv, D, D)
+    assert _rms(o_p, o_r) < 2e-2, _rms(o_p, o_r)
+    assert _rms(s_p, s_r) < 2e-2, _rms(s_p, s_r)

@@ -84,8 +84,10 @@ def init_cache(cfg: GLAswaConfig, cc: cache_lib.CacheConfig) -> dict:
             layers.append(cache_lib.init_layer_kv(
                 cc, cfg.num_key_value_heads, cfg.head_dim, cfg.window_keys))
         else:
+            # one state per KV head: query heads of a group share it
+            # (k/v/gates are group-level — see _gla_qkvg)
             layers.append(cache_lib.init_layer_state(
-                cc, cfg.num_attention_heads, cfg.head_dim))
+                cc, cfg.num_key_value_heads, cfg.head_dim))
     return {"layers": layers}
 
 
@@ -95,7 +97,13 @@ def init_cache(cfg: GLAswaConfig, cc: cache_lib.CacheConfig) -> dict:
 
 def _gla_qkvg(cfg: GLAswaConfig, ap: dict, x: jax.Array, pctx=NULL_CTX):
     """Project + feature-map + gates for a GLA layer.
-    x: [..., T, h] -> q,k [..., T, H, D], v likewise, g fp32."""
+    x: [..., T, h] -> q [..., T, Hq, D]; k, v, g [..., T, Hkv, D] (g fp32).
+
+    k/v/gates are NOT GQA-repeated: every query head in a group shares
+    its KV head's state, so the GLA kernels take group-level k/v/g and
+    one state per KV head (7x less state memory/traffic at rep=7; the
+    repeat semantics of `hf_7B_model/gla_attention.py` are reproduced
+    inside the kernels)."""
     H, Hkv = common.local_heads(cfg, pctx)
     D = cfg.head_dim
     if "qkvg_proj" in ap:
@@ -112,10 +120,6 @@ def _gla_qkvg(cfg: GLAswaConfig, ap: dict, x: jax.Array, pctx=NULL_CTX):
         q, k, v = common.project_qkv(ap, x, H, Hkv, D)
         gk = common.split_heads(
             linear(ap["gk_b"], linear(ap["gk_a"], x)), Hkv)
-    rep = H // Hkv
-    k = common.repeat_kv_heads(k, rep)
-    v = common.repeat_kv_heads(v, rep)
-    gk = common.repeat_kv_heads(gk, rep)
     q, k, g = naive.glaswa_gates(q, k, gk, cfg.gate_logit_normalizer)
     return q, k, v, g
 

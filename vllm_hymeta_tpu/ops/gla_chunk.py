@@ -48,18 +48,38 @@ def gla_chunked(
     Differentiable on both paths: the Pallas forward carries a custom VJP
     whose backward is the XLA reference's VJP (same math, so gradients are
     exact) — this is the training capability of the reference's fla GLA ops
-    (`hf_model/linear_attention.py:17,161`, SURVEY.md N7)."""
+    (`hf_model/linear_attention.py:17,161`, SURVEY.md N7).
+
+    GQA: q may carry rep*Hkv heads against Hkv-headed k/v/g — the shared
+    group state is stored ONCE per KV head (the 7B repeats k/v/gates
+    across the group, so per-query-head states are identical); the state
+    in/out is then [B, Hkv, Dk, Dv]."""
     if jax.default_backend() in ("tpu", "axon"):
         if q.shape[-1] == v.shape[-1] and q.shape[2] > 1:
             if scale is None:
                 scale = q.shape[-1] ** -0.5
             if initial_state is None:
-                B, H, _, Dk = q.shape
-                initial_state = jnp.zeros((B, H, Dk, v.shape[-1]),
+                B, Hkv, _, Dk = k.shape
+                initial_state = jnp.zeros((B, Hkv, Dk, v.shape[-1]),
                                           jnp.float32)
             return _gla_pallas_diff(q, k, v, g, initial_state, scale)
-    return gla_chunked_ref(q, k, v, g, initial_state=initial_state,
-                           scale=scale, chunk=chunk)
+    return _gla_ref_gqa(q, k, v, g, initial_state, scale, chunk)
+
+
+def _gla_ref_gqa(q, k, v, g, s0, scale, chunk: int = 128):
+    """XLA reference with GQA folded via repeat (+ state de-dup on the
+    way out); VJP through the repeats sums group gradients correctly."""
+    rep = q.shape[1] // k.shape[1]
+    if rep == 1:
+        return gla_chunked_ref(q, k, v, g, initial_state=s0, scale=scale,
+                               chunk=chunk)
+    kr = jnp.repeat(k, rep, axis=1)
+    vr = jnp.repeat(v, rep, axis=1)
+    gr = jnp.repeat(g, rep, axis=1)
+    s0r = jnp.repeat(s0, rep, axis=1) if s0 is not None else None
+    o, S = gla_chunked_ref(q, kr, vr, gr, initial_state=s0r, scale=scale,
+                           chunk=chunk)
+    return o, S[:, ::rep]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
@@ -75,8 +95,8 @@ def _gla_pallas_fwd(q, k, v, g, s0, scale: float):
 def _gla_pallas_bwd(scale: float, res, cts):
     q, k, v, g, s0 = res
     _, vjp = jax.vjp(
-        lambda q_, k_, v_, g_, s_: gla_chunked_ref(
-            q_, k_, v_, g_, initial_state=s_, scale=scale),
+        lambda q_, k_, v_, g_, s_: _gla_ref_gqa(
+            q_, k_, v_, g_, s_, scale),
         q, k, v, g, s0)
     return vjp(cts)
 

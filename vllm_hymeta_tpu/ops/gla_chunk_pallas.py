@@ -33,14 +33,19 @@ SUB = 16
 
 
 def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
-            nc: int, ns: int, scale: float):
+            nc: int, ns: int, scale: float, rep: int):
+    """rep > 1 = GQA mode: `rep` query heads share this program's
+    k/v/g head AND its state (the 7B repeats k/v/gates across the group,
+    so per-query-head states are identical — SURVEY `repeat_kv`,
+    `hf_model/linear_attention.py:24-33`; storing one state per KV head
+    cuts state memory and traffic by `rep`)."""
     c = pl.program_id(1)
 
     @pl.when(c == 0)
     def _():
         s_ref[:] = s0_ref[0]
 
-    C = q_ref.shape[1]
+    C = q_ref.shape[2]
     D = q_ref.shape[-1]
     row = jax.lax.broadcasted_iota(jnp.int32, (C, C), 0)
     col = jax.lax.broadcasted_iota(jnp.int32, (C, C), 1)
@@ -48,7 +53,6 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
     btri = jnp.where(same_sub & (row >= col), 1.0, 0.0)  # [C, C]
 
     g = g_ref[0].astype(jnp.float32)                     # [C, D]
-    q = q_ref[0].astype(jnp.float32) * scale
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0].astype(jnp.float32)
 
@@ -63,21 +67,14 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
         bl = bl + jnp.where(rpos >= sh, rolled, 0.0)
         sh *= 2
 
-    qa = q * jnp.exp(bl)
+    ebl = jnp.exp(bl)
     ka_in = k * jnp.exp(-bl)
 
     # MXU inputs in bf16 (same exponent range as fp32 — the sub-chunk
     # bound that keeps exponentials finite holds; only mantissa differs,
     # within the GLA path's tolerance), fp32 accumulation
-    qa16 = qa.astype(jnp.bfloat16)
     ka16 = ka_in.astype(jnp.bfloat16)
     v16 = v.astype(jnp.bfloat16)
-    A = jax.lax.dot_general(
-        qa16, ka16, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)
-    A = A * btri                                         # mask + zero cross
-    o_intra = jax.lax.dot(A.astype(jnp.bfloat16), v16,
-                          preferred_element_type=jnp.float32)
 
     # batched raw state contributions: upd0_i = ka_inᵀ @ v_i ; the real
     # update is U <- e^{Bs_i} ⊙ (U + upd0_i)  since
@@ -89,7 +86,7 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
 
     # sequential part reduced to ELEMENTWISE state evolution (VPU): U
     # before each sub-chunk is recorded, then ALL inter-chunk outputs run
-    # as one batched MXU matmul qa_i @ U_i — no small sequential dots
+    # as batched MXU matmuls qa_i @ U_i — no small sequential dots
     U = s_ref[:]
     states = []
     for i in range(ns):                                  # static unroll
@@ -98,12 +95,23 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
         decay = jnp.exp(bl[hi - 1:hi, :]).T              # [D, 1]
         U = decay * (U + upd0[i])
     s_ref[:] = U
-    St = jnp.stack(states, axis=0)                       # [ns, D, D] f32
-    o_inter = jax.lax.dot_general(
-        qa16.reshape(ns, SUB, D), St.astype(jnp.bfloat16),
-        (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)              # [ns, SUB, D]
-    o_ref[0] = (o_inter.reshape(C, D) + o_intra).astype(o_ref.dtype)
+    St16 = jnp.stack(states, axis=0).astype(jnp.bfloat16)  # [ns, D, D]
+
+    for r in range(rep):                                 # static unroll
+        q = q_ref[0, r].astype(jnp.float32) * scale      # [C, D]
+        qa = q * ebl
+        qa16 = qa.astype(jnp.bfloat16)
+        A = jax.lax.dot_general(
+            qa16, ka16, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        A = A * btri                                     # mask + zero cross
+        o_intra = jax.lax.dot(A.astype(jnp.bfloat16), v16,
+                              preferred_element_type=jnp.float32)
+        o_inter = jax.lax.dot_general(
+            qa16.reshape(ns, SUB, D), St16,
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # [ns, SUB, D]
+        o_ref[0, r] = (o_inter.reshape(C, D) + o_intra).astype(o_ref.dtype)
 
     @pl.when(c == nc - 1)
     def _():
@@ -112,17 +120,20 @@ def _kernel(q_ref, k_ref, v_ref, g_ref, s0_ref, o_ref, sout_ref, s_ref, *,
 
 @functools.partial(jax.jit, static_argnames=("scale", "chunk"))
 def gla_chunked_pallas(
-    q: jax.Array,  # [B, H, T, Dk]
-    k: jax.Array,
-    v: jax.Array,  # [B, H, T, Dv]
-    g: jax.Array,  # [B, H, T, Dk] log gates
-    initial_state: Optional[jax.Array] = None,  # [B, H, Dk, Dv] fp32
+    q: jax.Array,  # [B, Hq, T, Dk]  (Hq = rep * Hkv, GQA folded in-kernel)
+    k: jax.Array,  # [B, Hkv, T, Dk]
+    v: jax.Array,  # [B, Hkv, T, Dv]
+    g: jax.Array,  # [B, Hkv, T, Dk] log gates
+    initial_state: Optional[jax.Array] = None,  # [B, Hkv, Dk, Dv] fp32
     scale: Optional[float] = None,
     chunk: int = 512,
 ) -> Tuple[jax.Array, jax.Array]:
-    B, H, T, Dk = q.shape
+    B, Hq, T, Dk = q.shape
+    Hkv = k.shape[1]
+    rep = Hq // Hkv
     Dv = v.shape[-1]
     assert Dk == Dv, "kernel assumes square state"
+    assert Hq == rep * Hkv
     if scale is None:
         scale = Dk ** -0.5
     C = chunk
@@ -137,7 +148,7 @@ def gla_chunked_pallas(
     Tp = T + pad
     nc = Tp // C
     ns = C // SUB
-    BH = B * H
+    BH = B * Hkv
 
     if initial_state is None:
         s0 = jnp.zeros((BH, Dk, Dv), jnp.float32)
@@ -147,12 +158,14 @@ def gla_chunked_pallas(
     def flat(x):
         return x.reshape(BH, Tp, x.shape[-1])
 
-    kernel = functools.partial(_kernel, nc=nc, ns=ns, scale=scale)
+    qg = q.reshape(B, Hkv, rep, Tp, Dk).reshape(BH, rep, Tp, Dk)
+
+    kernel = functools.partial(_kernel, nc=nc, ns=ns, scale=scale, rep=rep)
     o, s_out = pl.pallas_call(
         kernel,
         grid=(BH, nc),
         in_specs=[
-            pl.BlockSpec((1, C, Dk), lambda b, c: (b, c, 0),
+            pl.BlockSpec((1, rep, C, Dk), lambda b, c: (b, 0, c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C, Dk), lambda b, c: (b, c, 0),
                          memory_space=pltpu.VMEM),
@@ -164,23 +177,23 @@ def gla_chunked_pallas(
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, C, Dv), lambda b, c: (b, c, 0),
+            pl.BlockSpec((1, rep, C, Dv), lambda b, c: (b, 0, c, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, Dk, Dv), lambda b, c: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((BH, Tp, Dv), v.dtype),
+            jax.ShapeDtypeStruct((BH, rep, Tp, Dv), v.dtype),
             jax.ShapeDtypeStruct((BH, Dk, Dv), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((Dk, Dv), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
-            flops=BH * Tp * (2 * C + 4 * Dk) * Dv,
-            bytes_accessed=BH * Tp * Dk * 2 * 4 + BH * Dk * Dv * 4,
+            flops=BH * rep * Tp * (2 * C + 4 * Dk) * Dv,
+            bytes_accessed=BH * Tp * Dk * 2 * (3 + rep) + BH * Dk * Dv * 4,
             transcendentals=BH * Tp * Dk * 3),
-    )(flat(q), flat(k), flat(v), flat(g), s0)
+    )(qg, flat(k), flat(v), flat(g), s0)
 
-    o = o.reshape(B, H, Tp, Dv)[:, :, :T]
-    return o, s_out.reshape(B, H, Dk, Dv)
+    o = o.reshape(B, Hkv, rep, Tp, Dv).reshape(B, Hq, Tp, Dv)[:, :, :T]
+    return o, s_out.reshape(B, Hkv, Dk, Dv)

@@ -181,15 +181,17 @@ def gla_quadratic(
 
 
 def gla_decode_step(
-    q: jax.Array,  # [B, H, Dk]
-    k: jax.Array,
-    v: jax.Array,  # [B, H, Dv]
-    g: jax.Array,  # [B, H, Dk]
-    state: jax.Array,  # [B, H, Dk, Dv] fp32
+    q: jax.Array,  # [B, Hq, Dk]
+    k: jax.Array,  # [B, Hkv, Dk]  (Hq = rep * Hkv: GQA group state)
+    v: jax.Array,  # [B, Hkv, Dv]
+    g: jax.Array,  # [B, Hkv, Dk]
+    state: jax.Array,  # [B, Hkv, Dk, Dv] fp32
     scale: Optional[float] = None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Single decode token: the spec of `models/my_fused_recurrent.py:59-80`
-    (state updated first, output computed against the NEW state)."""
+    (state updated first, output computed against the NEW state).  With
+    Hq > Hkv the `rep` query heads of a group read the group's single
+    state (k/v/g are shared across the group, so the states coincide)."""
     Dk = q.shape[-1]
     if scale is None:
         scale = Dk ** -0.5
@@ -197,7 +199,11 @@ def gla_decode_step(
         jnp.exp(g.astype(jnp.float32))[..., None] * state
         + k.astype(jnp.float32)[..., None] * v.astype(jnp.float32)[..., None, :]
     )
-    o = jnp.einsum("bhk,bhkv->bhv", q.astype(jnp.float32) * scale, S)
+    B, Hq, _ = q.shape
+    Hkv = k.shape[1]
+    qg = (q.astype(jnp.float32) * scale).reshape(
+        B, Hkv, Hq // Hkv, Dk)
+    o = jnp.einsum("bgrk,bgkv->bgrv", qg, S).reshape(B, Hq, -1)
     return o.astype(v.dtype), S
 
 
