@@ -50,7 +50,9 @@ def build_params(cfg, scheme: str, fuse: bool = True):
     cache_dir = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), ".bench_cache",
         f"{cfg.model_type}_{scheme}_{cfg.hidden_size}"
-        f"_{cfg.num_hidden_layers}")
+        f"_{cfg.num_hidden_layers}_{cfg.num_attention_heads}"
+        f"_{cfg.num_key_value_heads}_{cfg.intermediate_size}"
+        f"_{cfg.vocab_size}")
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         if os.path.exists(os.path.join(cache_dir, "quantized.safetensors")):
