@@ -69,6 +69,12 @@ class EngineConfig:
     # [prefills | decodes] batches, `meta_attention.py:612-639`);
     # 0 disables the cap
     prefill_chunk_active: int = 1024
+    # fold ONE decode step for every active slot into each prefill-chunk
+    # program (models.*.prefill_mixed): decode rows ride the chunk's
+    # weight streams, so generations emit a token per chunk instead of
+    # stalling behind it.  Single-device path; the mesh engine keeps
+    # alternation.
+    mixed_prefill_decode: bool = True
 
 
 @dataclasses.dataclass
@@ -305,6 +311,115 @@ class Engine:
         jfn = jax.jit(fn, donate_argnums=(2,))
         self._compiled_prefill_group[bucket] = jfn
         return jfn
+
+    def _prefill_mixed_fn(self, bucket: int, final: bool):
+        """One program: prefill chunk for one slot + one decode step for
+        the active slots, with sampling for both (mixed batching)."""
+        key_ = ("mixed", bucket, final)
+        if key_ in self._compiled_prefill:
+            return self._compiled_prefill[key_]
+
+        def fn(params, meta, cache, samp, tokens, slot, pos0, n_valid,
+               d_tokens, d_positions, d_active, key):
+            from vllm_hymeta_tpu.models import common as _common
+            params = _common.prepare_decode_params(params)
+            if self.is_hymeta:
+                p_logits, d_logits, cache = self.model.prefill_mixed(
+                    self.cfg, params, meta, cache, tokens, slot, pos0,
+                    n_valid, d_tokens, d_positions, d_active,
+                    need_logits=final)
+            else:
+                p_logits, d_logits, cache = self.model.prefill_mixed(
+                    self.cfg, params, cache, tokens, slot, pos0,
+                    n_valid, d_tokens, d_positions, d_active,
+                    need_logits=final)
+            kp, kd = jax.random.split(key)
+            # decode rows
+            raw_d = d_logits.astype(jnp.float32)
+            lg_d = sampler_lib.apply_repetition_penalty(
+                raw_d, samp["seen"], samp["rep_penalty"])
+            d_ids = sampler_lib.sample(
+                lg_d, kd, samp["temperature"], samp["top_k"],
+                samp["top_p"])
+            d_ids = jnp.where(d_active, d_ids, d_tokens)
+            lp_d = ()
+            if self.ecfg.logprobs_topk > 0:
+                lp_d = sampler_lib.token_logprobs(
+                    raw_d, d_ids, self.ecfg.logprobs_topk)
+            samp = dict(samp)
+            rows = jnp.arange(d_ids.shape[0])
+            seen_rows = samp["seen"][rows, d_ids]
+            samp["seen"] = samp["seen"].at[rows, d_ids].set(
+                jnp.where(d_active, True, seen_rows))
+            # prefill row
+            p_tok = jnp.int32(0)
+            lp_p = ()
+            if final:
+                raw_p = p_logits.astype(jnp.float32)[None]
+                lg_p = sampler_lib.apply_repetition_penalty(
+                    raw_p, samp["seen"][slot][None],
+                    samp["rep_penalty"][slot][None])
+                p_tok = sampler_lib.sample(
+                    lg_p, kp, samp["temperature"][slot][None],
+                    samp["top_k"][slot][None], samp["top_p"][slot][None])[0]
+                if self.ecfg.logprobs_topk > 0:
+                    lp_p = sampler_lib.token_logprobs(
+                        raw_p, p_tok[None], self.ecfg.logprobs_topk)
+            return p_tok, lp_p, d_ids, lp_d, cache, samp
+
+        jfn = jax.jit(fn, donate_argnums=(2, 3))
+        self._compiled_prefill[key_] = jfn
+        return jfn
+
+    def _step_mixed(self, pre: Request, finished: List[Request]):
+        """Mixed prefill+decode step: advance `pre`'s prompt by one chunk
+        AND emit one token for every active slot, in one dispatch."""
+        n_left = len(pre.prompt) - pre.prefill_done
+        n = min(n_left, self._chunk_cap())
+        bucket = self._bucket_for(n)
+        final = pre.prefill_done + n >= len(pre.prompt)
+        tokens = np.zeros((bucket,), np.int32)
+        tokens[:n] = pre.prompt[pre.prefill_done:pre.prefill_done + n]
+        S = self.ecfg.max_num_seqs
+        d_tokens = np.zeros((S,), np.int32)
+        was_active = self.active.copy()
+        for slot, req in self.slot_req.items():
+            if was_active[slot]:
+                d_tokens[slot] = req.output[-1]
+        fn = self._prefill_mixed_fn(bucket, final)
+        self.rng, k_ = jax.random.split(self.rng)
+        (p_tok, lp_p, d_ids, lp_d, self.cache, self.samp_state) = fn(
+            self.params, self.meta, self.cache, self.samp_state,
+            jnp.asarray(tokens), jnp.int32(pre.slot),
+            jnp.int32(pre.prefill_done), jnp.int32(n),
+            jnp.asarray(d_tokens),
+            jnp.asarray(self.positions.astype(np.int32)),
+            jnp.asarray(was_active), k_)
+        # harvest decode tokens (one per active slot)
+        ids = np.asarray(d_ids)
+        lps = tuple(np.asarray(a) for a in lp_d) if lp_d else None
+        for slot in list(self.slot_req):
+            req = self.slot_req[slot]
+            if not was_active[slot] or req is pre:
+                continue
+            self.positions[slot] += 1
+            lp = None
+            if lps is not None and req.params.logprobs > 0:
+                lp = (float(lps[0][slot]), lps[1][slot], lps[2][slot])
+            self._emit(req, int(ids[slot]), finished, lp)
+        # advance the prefill
+        pre.prefill_done += n
+        self.positions[pre.slot] = pre.prefill_done
+        self._maybe_snapshot_prefix(pre)
+        if final:
+            lp = None
+            if lp_p and pre.params.logprobs > 0:
+                lp = (float(np.asarray(lp_p[0])[0]),
+                      np.asarray(lp_p[1])[0], np.asarray(lp_p[2])[0])
+            self._emit(pre, int(p_tok), finished, lp)
+            if not pre.finished:
+                self.active[pre.slot] = True
+        return finished
 
     def _start_fn(self):
         """Slot (re)initialization fused into one dispatch: clear caches,
@@ -606,6 +721,13 @@ class Engine:
         pending = [r for r in self.slot_req.values()
                    if r.prefill_done < len(r.prompt)]
         pre = pending[0] if pending else None
+
+        # mixed batching: prefill chunk + one decode token per active
+        # slot in ONE dispatch — no alternation, no decode stall
+        if (pre is not None and self.ecfg.mixed_prefill_decode
+                and self.mesh is None and any(self.active)):
+            return self._step_mixed(pre, finished)
+
         if pre is not None and self._last_was_prefill and any(self.active):
             pre = None
             self._last_was_prefill = False

@@ -290,6 +290,120 @@ def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
     return logits, {"layers": new_layers}
 
 
+def prefill_mixed(cfg: GLAswaConfig, params: dict, cache: dict,
+                  tokens: jax.Array,       # [T] prefill chunk (padded)
+                  slot: jax.Array,         # scalar int32
+                  pos0: jax.Array,         # scalar int32
+                  n_valid: jax.Array,      # scalar int32
+                  d_tokens: jax.Array,     # [S] one decode token per slot
+                  d_positions: jax.Array,  # [S]
+                  d_active: jax.Array,     # [S] bool (False for `slot`)
+                  need_logits: bool = True,
+                  ) -> Tuple[jax.Array, jax.Array, dict]:
+    """ONE program = one prefill chunk for `slot` + one decode step for
+    every active slot — the TPU form of the reference's mixed
+    `[meta | prefills | decodes]` batches
+    (`attention/meta_attention.py:612-639`).  The decode rows are
+    CONCATENATED with the chunk rows through every projection/MLP matmul,
+    so the weight streams the prefill already pays serve the decode
+    tokens for free; only the attention/state ops split by row kind.
+    Active generations therefore emit a token every chunk instead of
+    stalling behind it (VERDICT r3 item 4).
+
+    Returns (prefill_logits [V], decode_logits [S, V], cache)."""
+    T = tokens.shape[0]
+    S = d_tokens.shape[0]
+    positions = pos0 + jnp.arange(T, dtype=jnp.int32)
+    valid = jnp.arange(T) < n_valid
+    all_tokens = jnp.concatenate([tokens, d_tokens])
+    all_positions = jnp.concatenate([positions, d_positions])
+    x = common.embed_vp(params["embed"], all_tokens, NULL_CTX)  # [T+S, h]
+    H, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    D = cfg.head_dim
+
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        if cfg.is_swa_layer(i):
+            q, k, v = common.project_qkv(ap, y[None], H, Hkv, D)
+            q, k = _swa_rope(cfg, q, k, all_positions[None])
+            q, k, v = q[0], k[0], v[0]
+            # --- prefill rows ---
+            ctx_k, ctx_v, ctx_pos = common.gather_ring_context(
+                lc, slot, pos0)
+            R = ctx_k.shape[0]
+            k_all = jnp.concatenate([ctx_k, k[:T]], axis=0)
+            v_all = jnp.concatenate([ctx_v, v[:T]], axis=0)
+            kp_all = jnp.concatenate(
+                [ctx_pos, jnp.where(valid, positions, swa.INVALID_POS)])
+            qp = jnp.where(valid, positions, swa.INVALID_POS)
+            out_p, _ = swa.flash_window_prefill(
+                q[:T], k_all, v_all, qp, kp_all, cfg.window_keys,
+                ctx_len=R, need_lse=False)
+            lc = cache_lib.write_prefill_kv(lc, slot, k[:T], v[:T],
+                                            positions, valid)
+            # --- decode rows (ring updated first: token attends itself) ---
+            lc = cache_lib.write_decode_kv(lc, k[T:], v[T:], d_positions,
+                                           d_active)
+            from vllm_hymeta_tpu.ops.swa_decode_pallas import \
+                fused_decode_attention
+            if lc["k"].dtype == jnp.int8:
+                out_d = fused_decode_attention(
+                    q[T:], lc["k"], lc["v"], d_positions, cfg.window_keys,
+                    k_scale=lc["k_scale"], v_scale=lc["v_scale"])
+            else:
+                rk, rv = cache_lib.kv_entry(lc)
+                out_d = fused_decode_attention(q[T:], rk, rv, d_positions,
+                                               cfg.window_keys)
+            out = jnp.concatenate(
+                [out_p.astype(y.dtype), out_d.astype(y.dtype)], axis=0)
+            att = linear(ap["o_proj"], common.merge_heads(out))
+        else:
+            q, k, v, g = _gla_qkvg(cfg, ap, y)
+            # --- decode rows first (their compute uses pre-chunk state;
+            # the prefill slot is inactive in d_active, so writes stay
+            # disjoint) ---
+            S_old = lc["state"].astype(jnp.float32)
+            o_d, S_dec = naive.gla_decode_step(q[T:], k[T:], v[T:], g[T:],
+                                               S_old)
+            S_dec = jnp.where(d_active[:, None, None, None], S_dec, S_old)
+            o_d = jnp.where(d_active[:, None, None], o_d, 0.0)
+            # --- prefill rows ---
+            kp = jnp.where(valid[:, None, None], k[:T], 0.0)
+            vp = jnp.where(valid[:, None, None], v[:T], 0.0)
+            gp = jnp.where(valid[:, None, None], g[:T], 0.0)
+            S0 = lc["state"][slot][None].astype(jnp.float32)
+            o_p, S_p = gla_chunk.gla_chunked(
+                q[:T].transpose(1, 0, 2)[None], kp.transpose(1, 0, 2)[None],
+                vp.transpose(1, 0, 2)[None], gp.transpose(1, 0, 2)[None],
+                initial_state=S0)
+            o = jnp.concatenate(
+                [o_p[0].transpose(1, 0, 2).astype(jnp.float32),
+                 o_d.astype(jnp.float32)], axis=0)
+            att = _gla_out(cfg, ap, o)
+            S_new = S_dec.at[slot].set(S_p[0])
+            lc = {"state": S_new.astype(lc["state"].dtype)}
+        new_layers.append(lc)
+        y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                         cfg.norm_eps)
+        x = res + glu_mlp(lp["mlp"], y)
+
+    xd = x[T:]
+    if need_logits:
+        xh = jnp.concatenate([x[n_valid - 1][None], xd], axis=0)
+    else:
+        xh = xd
+    xh = naive.rms_norm(xh, params["final_norm"]["w"], cfg.norm_eps)
+    logits = common.lm_head_gather(params["lm_head"], xh, NULL_CTX)
+    if need_logits:
+        return logits[0], logits[1:], {"layers": new_layers}
+    return jnp.zeros((cfg.vocab_size,), jnp.float32), logits, \
+        {"layers": new_layers}
+
+
 def prefill_batched(cfg: GLAswaConfig, params: dict, cache: dict,
                     tokens: jax.Array,    # [B, T] (padded)
                     slots: jax.Array,     # [B] int32

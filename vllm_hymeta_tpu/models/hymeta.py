@@ -474,6 +474,130 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
     return logits, {"layers": new_layers}
 
 
+def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
+                  tokens: jax.Array,       # [T] prefill chunk (padded)
+                  slot: jax.Array,         # scalar int32
+                  pos0: jax.Array,         # scalar int32
+                  n_valid: jax.Array,      # scalar int32
+                  d_tokens: jax.Array,     # [S] one decode token per slot
+                  d_positions: jax.Array,  # [S]
+                  d_active: jax.Array,     # [S] bool (False for `slot`)
+                  need_logits: bool = True,
+                  ) -> Tuple[jax.Array, jax.Array, dict]:
+    """ONE program = one prefill chunk + one decode step — the TPU form of
+    the reference's mixed `[meta | prefills | decodes]` batches
+    (`attention/meta_attention.py:612-639`).  Decode rows share every
+    projection/branch/MLP matmul with the chunk rows; see
+    gla_swa.prefill_mixed for the design notes.
+
+    Returns (prefill_logits [V], decode_logits [S, V], cache)."""
+    T = tokens.shape[0]
+    S = d_tokens.shape[0]
+    M = cfg.num_meta_tokens
+    lbs = lower_bound_table(cfg, params)
+    positions = pos0 + jnp.arange(T, dtype=jnp.int32)
+    valid = jnp.arange(T) < n_valid
+    all_tokens = jnp.concatenate([tokens, d_tokens])
+    all_positions = jnp.concatenate([positions, d_positions])
+    rope_pos = all_positions + M  # offset (`modeling_hymeta.py:1313-1323`)
+    x = common.embed_vp(params["embed"], all_tokens, NULL_CTX)
+
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        window = cfg.layer_window(i)
+
+        swa_qkv, gla_qkv = _project_both(cfg, ap, y[None])
+        q, k, v = swa_qkv
+        cos, sin = naive.rope_cos_sin(rope_pos[None], D, cfg.rope_theta)
+        q = naive.apply_rope(q, cos, sin)[0]
+        k = naive.apply_rope(k, cos, sin)[0]
+        v = v[0]
+
+        # ---- SWA prefill rows: windowed + metatoken passes, LSE merge
+        ctx_k, ctx_v, ctx_pos = common.gather_ring_context(lc, slot, pos0)
+        R = ctx_k.shape[0]
+        k_all = jnp.concatenate([ctx_k, k[:T]], axis=0)
+        v_all = jnp.concatenate([ctx_v, v[:T]], axis=0)
+        qp = jnp.where(valid, positions, swa.INVALID_POS)
+        kp_all = jnp.concatenate([ctx_pos, qp])
+        out1, lse1 = swa.flash_window_prefill(
+            q[:T], k_all, v_all, qp, kp_all, window, ctx_len=R,
+            mask_mode="window" if window > 0 else "causal")
+        out2, lse2 = swa.flash_window_prefill(
+            q[:T], meta["k"][i], meta["v"][i],
+            qp, jnp.zeros((M,), jnp.int32), 0, mask_mode="all")
+        mo, _ = swa.merge_two(
+            jnp.swapaxes(out1, 0, 1).astype(jnp.float32), lse1,
+            jnp.swapaxes(out2, 0, 1).astype(jnp.float32), lse2)
+        swa_p = jnp.swapaxes(mo, 0, 1).astype(y.dtype)     # [T, H, D]
+        lc = cache_lib.write_prefill_kv(lc, slot, k[:T], v[:T], positions,
+                                        valid)
+        # ---- SWA decode rows (updated ring: token attends itself)
+        lc = cache_lib.write_decode_kv(lc, k[T:], v[T:], d_positions,
+                                       d_active)
+        from vllm_hymeta_tpu.ops.swa_decode_pallas import \
+            fused_decode_attention
+        if lc["k"].dtype == jnp.int8:
+            swa_d = fused_decode_attention(
+                q[T:], lc["k"], lc["v"], d_positions, window,
+                meta["k"][i], meta["v"][i],
+                k_scale=lc["k_scale"], v_scale=lc["v_scale"])
+        else:
+            rk, rv = cache_lib.kv_entry(lc)
+            swa_d = fused_decode_attention(q[T:], rk, rv, d_positions,
+                                           window, meta["k"][i],
+                                           meta["v"][i])
+        swa_out = jnp.concatenate([swa_p, swa_d.astype(y.dtype)], axis=0)
+
+        # ---- GLA branch
+        lb = _layer_lower_bound(cfg, lbs, i)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb,
+                                  qkv=tuple(t[0] for t in gla_qkv))
+        S_old = lc["state"].astype(jnp.float32)
+        o_d, S_dec = naive.gla_decode_step(qg[T:], kg[T:], vg[T:], g[T:],
+                                           S_old)
+        S_dec = jnp.where(d_active[:, None, None, None], S_dec, S_old)
+        o_d = jnp.where(d_active[:, None, None], o_d, 0.0)
+        kp2 = jnp.where(valid[:, None, None], kg[:T], 0.0)
+        vp2 = jnp.where(valid[:, None, None], vg[:T], 0.0)
+        gp2 = jnp.where(valid[:, None, None], g[:T], 0.0)
+        S0 = lc["state"][slot][None].astype(jnp.float32)
+        o_p, S_p = gla_chunk.gla_chunked(
+            qg[:T].transpose(1, 0, 2)[None], kp2.transpose(1, 0, 2)[None],
+            vp2.transpose(1, 0, 2)[None], gp2.transpose(1, 0, 2)[None],
+            initial_state=S0)
+        gla_out = jnp.concatenate(
+            [o_p[0].transpose(1, 0, 2).astype(jnp.float32),
+             o_d.astype(jnp.float32)], axis=0).astype(y.dtype)
+        lc = dict(lc)
+        lc["state"] = S_dec.at[slot].set(S_p[0]).astype(lc["state"].dtype)
+        new_layers.append(lc)
+
+        att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
+                            common.merge_heads(gla_out))
+        y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                          cfg.norm_eps)
+        x = res + _ffn(cfg, lp, y2)
+
+    xd = x[T:]
+    if need_logits:
+        xh = jnp.concatenate([x[n_valid - 1][None], xd], axis=0)
+    else:
+        xh = xd
+    xh = naive.rms_norm(xh, params["final_norm"]["w"], cfg.norm_eps)
+    logits = common.lm_head_gather(params["lm_head"], xh, NULL_CTX)
+    if need_logits:
+        return logits[0], logits[1:], {"layers": new_layers}
+    return jnp.zeros((cfg.vocab_size,), jnp.float32), logits, \
+        {"layers": new_layers}
+
+
 def prefill_batched(cfg: HymetaConfig, params: dict, meta: dict,
                     cache: dict,
                     tokens: jax.Array,    # [B, T] (padded)
