@@ -353,3 +353,100 @@ class TestFormatDetection:
         save_file(tensors, str(d / "model.safetensors"))
         with pytest.raises(NotImplementedError, match="group-wise"):
             load_compressed_w8a8_checkpoint(cfg, str(d), dtype=jnp.float32)
+
+
+class TestDescActGPTQ:
+    """Round 4 (VERDICT r3 item 10): act-order (desc_act) checkpoints —
+    permuted g_idx rows are sorted into contiguous groups at load and the
+    Linear gathers activations by the recorded act_perm."""
+
+    def test_convert_desc_act_linear_matches_dense(self):
+        rs = np.random.RandomState(5)
+        K, N, g = 128, 64, 32
+        w = rs.randn(K, N).astype(np.float32) * 0.05
+        qw, qz, sc, gi = gptq_reader.pack_gptq_linear_desc_act(
+            w, bits=4, group_size=g, seed=1)
+        assert not np.array_equal(gi, np.arange(K) // g)  # really permuted
+        conv = gptq_reader.convert_gptq_linear(qw, qz, sc, gi, bits=4)
+        assert "act_perm" in conv
+        # runtime math: x[perm] @ dequant(qw_perm) == x @ w_deq
+        from vllm_hymeta_tpu.ops.quant_matmul import dequant_groupwise
+        x = rs.randn(3, K).astype(np.float32)
+        w_deq = gptq_reader.dequant_reference(qw, qz, sc, gi, bits=4)
+        y_ref = x @ w_deq
+        wp = np.asarray(dequant_groupwise(
+            jnp.asarray(conv["qw"]), jnp.asarray(conv["scales"]),
+            jnp.asarray(conv["zeros"]), dtype=jnp.float32))
+        y = x[:, np.asarray(conv["act_perm"])] @ wp
+        np.testing.assert_allclose(y, y_ref, rtol=1e-3, atol=1e-3)
+
+    def test_desc_act_checkpoint_roundtrip(self, tmp_path):
+        """Synthetic desc_act 4-bit checkpoint loads, packs to qw4 with
+        act_perm, and the layers.linear output matches the dense
+        dequantized weight."""
+        from safetensors.numpy import save_file
+        from vllm_hymeta_tpu.models.layers import linear
+        cfg = tiny_glaswa(num_hidden_layers=1)
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(4),
+                                     dtype=jnp.float32)
+        tensors = {
+            "model.embeddings.weight": np.asarray(params["embed"]["w"]),
+            "model.norm.weight": np.asarray(params["final_norm"]["w"]),
+            "lm_head.weight": np.ascontiguousarray(
+                np.asarray(params["lm_head"]["w"]).T),
+        }
+        lp = params["layers"][0]
+        L = "model.layers.0"
+        tensors[f"{L}.attn_norm.weight"] = np.asarray(lp["attn_norm"]["w"])
+        tensors[f"{L}.mlp_norm.weight"] = np.asarray(lp["mlp_norm"]["w"])
+        for proj in ("gate_proj", "up_proj", "down_proj"):
+            tensors[f"{L}.mlp.{proj}.weight"] = np.ascontiguousarray(
+                np.asarray(lp["mlp"][proj]["w"]).T)
+        ap = lp["attn"]
+        for proj in ("k_proj", "v_proj"):
+            tensors[f"{L}.attn.{proj}.weight"] = np.ascontiguousarray(
+                np.asarray(ap[proj]["w"]).T)
+            tensors[f"{L}.attn.{proj}.bias"] = np.asarray(ap[proj]["b"])
+        tensors[f"{L}.attn.o_proj.weight"] = np.ascontiguousarray(
+            np.asarray(ap["o_proj"]["w"]).T)
+        if "gk_a" in ap:
+            tensors[f"{L}.attn.gk_proj.0.weight"] = np.ascontiguousarray(
+                np.asarray(ap["gk_a"]["w"]).T)
+            tensors[f"{L}.attn.gk_proj.1.weight"] = np.ascontiguousarray(
+                np.asarray(ap["gk_b"]["w"]).T)
+            tensors[f"{L}.attn.gk_proj.1.bias"] = np.asarray(
+                ap["gk_b"]["b"])
+            tensors[f"{L}.attn.g_norm.weight"] = np.asarray(
+                ap["g_norm"]["w"])
+        # q_proj: desc_act 4-bit packed
+        w = np.asarray(ap["q_proj"]["w"])
+        qw, qz, sc, gi = gptq_reader.pack_gptq_linear_desc_act(
+            w, bits=4, group_size=32, seed=2)
+        tensors[f"{L}.attn.q_proj.qweight"] = qw
+        tensors[f"{L}.attn.q_proj.qzeros"] = qz
+        tensors[f"{L}.attn.q_proj.scales"] = sc.astype(np.float32)
+        tensors[f"{L}.attn.q_proj.g_idx"] = gi
+        tensors[f"{L}.attn.q_proj.bias"] = np.asarray(ap["q_proj"]["b"])
+
+        ckpt = tmp_path / "ckpt_desc"
+        os.makedirs(ckpt)
+        save_file(tensors, str(ckpt / "model.safetensors"))
+        with open(ckpt / "config.json", "w") as f:
+            json.dump({"model_type": "gla_swa",
+                       **{k: getattr(cfg, k) for k in
+                          ("vocab_size", "hidden_size",
+                           "num_hidden_layers", "num_attention_heads",
+                           "num_key_value_heads", "intermediate_size",
+                           "sliding_window")},
+                       "quantization_config": {
+                           "bits": 4, "sym": True, "desc_act": True}}, f)
+
+        loaded = load_gptq_checkpoint(cfg, str(ckpt), dtype=jnp.float32)
+        qp = loaded["layers"][0]["attn"]["q_proj"]
+        assert "qw4" in qp and "act_perm" in qp and "w" not in qp
+        x = np.asarray(jax.random.normal(jax.random.PRNGKey(9),
+                                         (5, w.shape[0]), jnp.float32))
+        y = np.asarray(linear(qp, jnp.asarray(x)))
+        w_deq = gptq_reader.dequant_reference(qw, qz, sc, gi, bits=4)
+        y_ref = x @ w_deq + np.asarray(ap["q_proj"]["b"])
+        np.testing.assert_allclose(y, y_ref, rtol=2e-2, atol=2e-2)

@@ -74,6 +74,10 @@ class LLM:
         elif quant_io.is_gptq_checkpoint(model):
             self.params = quant_io.load_gptq_checkpoint(
                 self.cfg, model, dtype=dtype)
+            from vllm_hymeta_tpu.quant import attach_prefill_int8
+            # 4-bit tensors load packed (qw4); give prefill its INT8
+            # shadow so the MXU runs the int8 path at large M
+            self.params = attach_prefill_int8(self.params)
         else:
             self.params = weights_lib.load_checkpoint(
                 self.cfg, model, dtype=dtype)

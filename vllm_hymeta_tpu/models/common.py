@@ -40,6 +40,13 @@ def project_qkv(p: dict, x: jax.Array, n_heads: int, n_kv_heads: int,
     return q, k, v
 
 
+def _fusable(ps) -> bool:
+    """Projection groups with per-tensor activation permutations
+    (desc_act GPTQ) cannot share one fused matmul — each tensor gathers
+    its input differently."""
+    return not any("act_perm" in p for p in ps)
+
+
 def _concat_linears(ps, tp: int = 1) -> dict:
     """Concatenate column-parallel linear params along the output dim,
     rank-block-interleaved so a "model"-axis shard of the result equals
@@ -122,32 +129,39 @@ def fuse_params(cfg, params: dict, tp: int = 1) -> dict:
         ap = dict(lp["attn"])
         if is_hymeta:
             sw, gl = dict(ap["swa"]), dict(ap["gla"])
-            ap["qkv6_proj"] = _concat_linears(
-                [sw["q_proj"], sw["k_proj"], sw["v_proj"],
-                 gl["q_proj"], gl["k_proj"], gl["v_proj"]], tp)
-            for key in ("q_proj", "k_proj", "v_proj"):
-                sw.pop(key)
-                gl.pop(key)
+            six = [sw["q_proj"], sw["k_proj"], sw["v_proj"],
+                   gl["q_proj"], gl["k_proj"], gl["v_proj"]]
+            if _fusable(six):
+                ap["qkv6_proj"] = _concat_linears(six, tp)
+                for key in ("q_proj", "k_proj", "v_proj"):
+                    sw.pop(key)
+                    gl.pop(key)
             ap["swa"], ap["gla"] = sw, gl
         else:
-            parts = [ap.pop("q_proj"), ap.pop("k_proj"), ap.pop("v_proj")]
-            same_layout = ("gk_a" in ap and all(
-                ((key in ap["gk_a"]) == (key in parts[0]))
-                for key in ("w", "qw", "qw4")))
-            if "gk_a" in ap and tp == 1 and same_layout:
-                # gk_a's low-rank output is replicated under TP (and is
-                # excluded from quantization), so it only rides the fused
-                # matmul when layouts match single-rank
-                parts.append(ap.pop("gk_a"))
-                ap["qkvg_proj"] = _concat_linears(parts, tp)
-            else:
-                ap["qkv_proj"] = _concat_linears(parts, tp)
+            parts = [ap["q_proj"], ap["k_proj"], ap["v_proj"]]
+            if _fusable(parts):
+                for key in ("q_proj", "k_proj", "v_proj"):
+                    ap.pop(key)
+                same_layout = ("gk_a" in ap and all(
+                    ((key in ap["gk_a"]) == (key in parts[0]))
+                    for key in ("w", "qw", "qw4")))
+                if "gk_a" in ap and tp == 1 and same_layout:
+                    # gk_a's low-rank output is replicated under TP (and
+                    # is excluded from quantization), so it only rides
+                    # the fused matmul when layouts match single-rank
+                    parts.append(ap.pop("gk_a"))
+                    ap["qkvg_proj"] = _concat_linears(parts, tp)
+                else:
+                    ap["qkv_proj"] = _concat_linears(parts, tp)
         lp["attn"] = ap
         for mkey in ("mlp", "shared_mlp"):
             if mkey in lp:
                 m = dict(lp[mkey])
-                m["gate_up_proj"] = _concat_linears(
-                    [m.pop("gate_proj"), m.pop("up_proj")], tp)
+                gu = [m["gate_proj"], m["up_proj"]]
+                if _fusable(gu):
+                    m.pop("gate_proj")
+                    m.pop("up_proj")
+                    m["gate_up_proj"] = _concat_linears(gu, tp)
                 lp[mkey] = m
         if tp > 1:
             _repack_row_int4(lp, tp)

@@ -22,6 +22,10 @@ from vllm_hymeta_tpu.ops import quant_matmul
 
 def linear(p: dict, x: jax.Array) -> jax.Array:
     """y = x @ w (+ b). Dispatches on the parameter layout."""
+    if "act_perm" in p:
+        # desc_act GPTQ: weight rows live in group order; gather the
+        # activations to match (x[perm] @ W[perm] == x @ W)
+        x = jnp.take(x, p["act_perm"], axis=-1)
     if "qw4" in p:
         rows = 1
         for d in x.shape[:-1]:

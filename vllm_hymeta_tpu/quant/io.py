@@ -269,7 +269,20 @@ def load_gptq_checkpoint(cfg, path: str, dtype=jnp.bfloat16,
         for pk in path_keys[:-1]:
             d = d[pk]
         d.pop("w", None)
-        d["qw"] = jnp.asarray(converted["qw"])
-        d["scales"] = jnp.asarray(converted["scales"])
-        d["zeros"] = jnp.asarray(converted["zeros"])
+        if bits == 4 and converted["qw"].shape[0] % 2 == 0:
+            # serve 4-bit weights in the split-half packed layout the
+            # grouped-s4 decode kernel streams (half the bytes of the
+            # int8-stored form), with the INT8 prefill shadow attached
+            # by the caller (attach_prefill_int8)
+            from vllm_hymeta_tpu.ops.quant_matmul import pack_int4
+            d["qw4"] = jnp.asarray(
+                np.asarray(pack_int4(jnp.asarray(converted["qw"]))))
+            d["scales"] = jnp.asarray(converted["scales"])
+            d["zeros"] = jnp.asarray(converted["zeros"])
+        else:
+            d["qw"] = jnp.asarray(converted["qw"])
+            d["scales"] = jnp.asarray(converted["scales"])
+            d["zeros"] = jnp.asarray(converted["zeros"])
+        if "act_perm" in converted:
+            d["act_perm"] = jnp.asarray(converted["act_perm"])
     return params
