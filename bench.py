@@ -5,8 +5,9 @@ Protocol mirrors the reference's headline measurement
 (`hf_7B_model/speed_7B.py:44-177` / BASELINE.md): latency to generate 128
 new tokens after a long prompt, mean over runs after warmup.
 
-Default config: the real 7B GLAswa architecture with W8A8 weights
-(BASELINE.json config #2) on one TPU chip, 32k prompt.  Baseline number:
+Default config: the real 7B GLAswa architecture with GPTQ-INT4 weights
++ INT8 prefill shadow (the fastest serving scheme; BASELINE.json
+config #1's quantized serving point) on one TPU chip, 32k prompt.  Baseline number:
 7B HF bf16 on 1 GPU, 32k -> 128 tok = 2332 ms (speed_7B.py:205-208);
 vs_baseline = baseline_ms / measured_ms (>1 means faster than reference).
 
@@ -14,10 +15,10 @@ Weights are randomly initialized (no public checkpoint ships with the
 reference); latency is architecture- and kernel-bound, not value-bound.
 
 Env overrides: BENCH_PROMPT (default 32768), BENCH_GEN (128),
-BENCH_RUNS (3), BENCH_SCHEME (w8a8|gptq4|bf16), BENCH_SMALL=1 for a
+BENCH_RUNS (3), BENCH_SCHEME (gptq4|w8a8|bf16; default gptq4 — the fastest scheme), BENCH_SMALL=1 for a
 reduced-width smoke config, BENCH_INT8_HEAD (default 1: serve the LM
 head int8 — saves ~0.7 ms/token of decode HBM traffic; top-1 parity
-property-tested), BENCH_DECODE_BLOCK (default 32), BENCH_CHUNK (4096).
+property-tested), BENCH_DECODE_BLOCK (default 64), BENCH_CHUNK (4096).
 """
 
 import json
@@ -82,7 +83,7 @@ def main():
     prompt_len = int(os.environ.get("BENCH_PROMPT", 32768))
     gen = int(os.environ.get("BENCH_GEN", 128))
     runs = int(os.environ.get("BENCH_RUNS", 3))
-    scheme = os.environ.get("BENCH_SCHEME", "w8a8")
+    scheme = os.environ.get("BENCH_SCHEME", "gptq4")
     small = os.environ.get("BENCH_SMALL") == "1"
 
     from vllm_hymeta_tpu.config import GLAswaConfig, HymetaConfig
@@ -115,7 +116,7 @@ def main():
                         prefill_buckets=(chunk,),
                         kv_dtype="bfloat16",
                         decode_block=int(os.environ.get("BENCH_DECODE_BLOCK",
-                                                        32)))
+                                                        64)))
     eng = Engine(cfg, params, ecfg)
 
     import numpy as np

@@ -86,12 +86,17 @@ def run_scheme(scheme: str):
 
     # free-running greedy through the engine (serving path: the real
     # kernels incl. the int4 grouped decode)
-    ecfg = EngineConfig(max_num_seqs=8, max_model_len=64 + gen + 32,
+    # small slot count: the bf16 7B barely fits HBM (13 GB weights), and
+    # ring buffers scale with max_num_seqs
+    n_seqs = int(os.environ.get("PARITY_SEQS", 2))
+    ecfg = EngineConfig(max_num_seqs=n_seqs, max_model_len=64 + gen + 32,
                         prefill_chunk=512, prefill_buckets=(512,),
                         decode_block=16)
     eng = Engine(cfg, params, ecfg)
     sp = SamplingParams(temperature=0.0, max_tokens=gen, ignore_eos=True)
-    reqs = eng.generate(prompts, sp)
+    reqs = []
+    for j in range(0, len(prompts), n_seqs):
+        reqs += eng.generate(prompts[j:j + n_seqs], sp)
     outs = np.asarray([r.output for r in reqs], np.int32)
 
     np.savez(f"/tmp/parity_{scheme}.npz", greedy=outs, tf_argmax=arg,
