@@ -272,3 +272,108 @@ class TestGroupedMeshPrefill:
         eng2 = Engine(cfg, params, ecfg, mesh=mesh)
         outs = [r.output for r in eng2.generate(prompts, sp)]
         assert base == outs, (base, outs)
+
+
+class TestSplitPrefill:
+    """Split-T prefill: one request's chunk token-sharded over the data
+    ranks (VERDICT r3 item 6 — the single-long-prompt mesh path)."""
+
+    def test_split_prefill_matches_full(self, mesh8):
+        """Two chunks (the second rides ring context + a carried GLA
+        state) through prefill_split must reproduce forward_full."""
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(5),
+                                     dtype=jnp.float32)
+        cc = _cc(cfg, S=4)
+        T1, T2 = 16, 16
+        T = T1 + T2
+        tokens = jax.random.randint(jax.random.PRNGKey(6), (T,), 0,
+                                    cfg.vocab_size)
+        full = gla_swa.forward_full(cfg, params, tokens[None])[0]
+
+        cache = gla_swa.init_cache(cfg, cc)
+        params_s, cache_s, _ = step.place_all(cfg, mesh8, params, cache,
+                                              None)
+        pre = jax.jit(step.make_local_prefill_split(
+            cfg, mesh8, params, cache, None), donate_argnums=(2,))
+        # chunk 1: 16 tokens, slot 3 (data rank 1), 13 valid
+        logits, cache_s = pre(params_s, None, cache_s, tokens[:T1],
+                              jnp.int32(3), jnp.int32(0), jnp.int32(13))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[12]),
+                                   atol=3e-3, rtol=1e-2)
+        # chunk 2: the next 16 tokens starting at position 13
+        toks2 = tokens[13:13 + T2]
+        logits, cache_s = pre(params_s, None, cache_s, toks2,
+                              jnp.int32(3), jnp.int32(13),
+                              jnp.int32(T2))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[13 + T2 - 1]),
+                                   atol=3e-3, rtol=1e-2)
+
+    def test_engine_single_prompt_uses_split(self):
+        """One long prompt on a (data=2, model=2) mesh must take the
+        split-T prefill path and emit the same greedy tokens as the
+        single-device engine."""
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(7),
+                                     dtype=jnp.float32)
+        ecfg = EngineConfig(max_num_seqs=4, max_model_len=128,
+                            prefill_chunk=16, prefill_buckets=(16,),
+                            decode_block=2)
+        rs = np.random.RandomState(7)
+        prompt = list(rs.randint(0, 256, size=45))
+        sp = SamplingParams(temperature=0.0, max_tokens=6,
+                            ignore_eos=True)
+
+        eng1 = Engine(cfg, params, ecfg)
+        base = eng1.generate([prompt], sp)[0].output
+
+        mesh = make_mesh(tp=2, dp=2, devices=jax.devices()[:4])
+        eng2 = Engine(cfg, params, ecfg, mesh=mesh)
+        assert eng2._local_prefill_split is not None
+        used = []
+        orig = eng2._prefill_fn
+
+        def spy(bucket, final=True):
+            used.append((bucket, final))
+            return orig(bucket, final)
+        eng2._prefill_fn = spy
+        out = eng2.generate([prompt], sp)[0].output
+        assert used, "single-request prefill path was not used"
+        assert base == out, (base, out)
+
+    def test_split_prefill_hymeta_matches_full(self, mesh8):
+        """70B family: two split chunks (ring ctx + meta-seeded GLA state
+        + a global layer) must reproduce forward_full."""
+        cfg = tiny_hymeta()
+        params = hymeta.init_params(cfg, jax.random.PRNGKey(8),
+                                    dtype=jnp.float32)
+        meta = hymeta.precompute_meta(cfg, params)
+        cc = _cc(cfg, S=4)
+        T1, T2 = 16, 16
+        tokens = jax.random.randint(jax.random.PRNGKey(9), (T1 + T2,), 0,
+                                    cfg.vocab_size)
+        full = hymeta.forward_full(cfg, params, tokens[None])[0]
+
+        cache = hymeta.init_cache(cfg, cc)
+        for i, lc in enumerate(cache["layers"]):
+            lc["state"] = lc["state"].at[3].set(
+                meta["state"][i].astype(lc["state"].dtype))
+        params_s, cache_s, meta_s = step.place_all(cfg, mesh8, params,
+                                                   cache, meta)
+        pre = jax.jit(step.make_local_prefill_split(
+            cfg, mesh8, params, cache, meta), donate_argnums=(2,))
+        logits, cache_s = pre(params_s, meta_s, cache_s, tokens[:T1],
+                              jnp.int32(3), jnp.int32(0), jnp.int32(13))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[12]),
+                                   atol=3e-3, rtol=1e-2)
+        toks2 = tokens[13:13 + T2]
+        logits, cache_s = pre(params_s, meta_s, cache_s, toks2,
+                              jnp.int32(3), jnp.int32(13), jnp.int32(T2))
+        np.testing.assert_allclose(np.asarray(logits),
+                                   np.asarray(full[13 + T2 - 1]),
+                                   atol=3e-3, rtol=1e-2)

@@ -63,26 +63,36 @@ def run_scheme(scheme: str):
     params = build_params(cfg, scheme)
     model = get_model(cfg)
 
-    # teacher-forced pass over the fixed stream; reductions on-device so
-    # only [T] argmax + 16 logit rows cross the wire (full [T, V] fp32
-    # would be 2.5 GB at the 7B vocab)
-    rows = np.linspace(0, stream_len - 1, 16).astype(int)
+    # teacher-forced pass over the fixed stream, processed in independent
+    # SEGMENTS (identical segmentation for every scheme, so deltas are
+    # apples-to-apples): one [T, V] fp32 logit buffer at the 7B vocab is
+    # 2.5 GB and OOMs beside the bf16 weights, a 512-token segment is
+    # 311 MB.  Reductions happen on-device; one mid-segment logit row per
+    # segment crosses the wire for the |dlogit| stat.
+    seg = int(os.environ.get("PARITY_TF_SEG", 512))
+    n_seg = max(1, stream_len // seg)
+    rows = np.asarray([s * seg + seg // 2 for s in range(n_seg)])
 
     @jax.jit
-    def tf_stats(params, tokens, targets):
-        lg = model.forward_full(cfg, params, tokens[None])[0]  # [T, V] f32
+    def tf_seg(params, tokens, targets):
+        lg = model.forward_full(cfg, params, tokens[None])[0]  # [seg, V]
         arg = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         logz = jax.nn.logsumexp(lg, axis=-1)
         nll = jnp.mean(logz - jnp.take_along_axis(
             lg, targets[:, None], axis=-1)[:, 0])
-        return arg, nll, lg[jnp.asarray(rows)]
+        return arg, nll, lg[seg // 2]
 
-    arg, nll, logit_rows = tf_stats(
-        params, jnp.asarray(stream[:-1], jnp.int32),
-        jnp.asarray(stream[1:], jnp.int32))
-    arg = np.asarray(arg)
-    nll = float(nll)
-    logit_rows = np.asarray(logit_rows, np.float32)
+    args_, nlls, lrows = [], [], []
+    for s in range(n_seg):
+        a, n_, r_ = tf_seg(
+            params, jnp.asarray(stream[s * seg:(s + 1) * seg], jnp.int32),
+            jnp.asarray(stream[s * seg + 1:(s + 1) * seg + 1], jnp.int32))
+        args_.append(np.asarray(a))
+        nlls.append(float(n_))
+        lrows.append(np.asarray(r_, np.float32))
+    arg = np.concatenate(args_)
+    nll = float(np.mean(nlls))
+    logit_rows = np.stack(lrows)
 
     # free-running greedy through the engine (serving path: the real
     # kernels incl. the int4 grouped decode)

@@ -140,11 +140,26 @@ class Engine:
                 cfg, mesh, self.params, self.cache, self.meta)
             self._local_decode = pstep.make_local_decode(
                 cfg, mesh, self.params, self.cache, self.meta)
+            # split-T prefill: one request's chunk token-sharded over the
+            # data ranks (used when a single pending request would
+            # otherwise run owner-masked replicated compute)
+            self._local_prefill_split = None
+            self._local_prefill_split_mid = None
+            if (int(mesh.shape["data"]) > 1
+                    and hasattr(self.model, "prefill_split")):
+                self._local_prefill_split = pstep.make_local_prefill_split(
+                    cfg, mesh, self.params, self.cache, self.meta)
+                self._local_prefill_split_mid = \
+                    pstep.make_local_prefill_split(
+                        cfg, mesh, self.params, self.cache, self.meta,
+                        need_logits=False)
         else:
             self._local_prefill = None
             self._local_prefill_mid = None
             self._local_prefill_group = None
             self._local_decode = None
+            self._local_prefill_split = None
+            self._local_prefill_split_mid = None
 
         S = self.ecfg.max_num_seqs
         if mesh is not None and int(mesh.shape["data"]) > 1:
@@ -218,12 +233,21 @@ class Engine:
         key_ = (bucket, final)
         if key_ in self._compiled_prefill:
             return self._compiled_prefill[key_]
+        # token-shard the chunk over the data ranks when the model
+        # supports it and the bucket divides evenly (single-request mesh
+        # prefill would otherwise replicate the compute dp times)
+        split = (self._local_prefill_split is not None
+                 and bucket % int(self.mesh.shape["data"]) == 0)
 
         def fn(params, meta, cache, samp, tokens, slot, pos0, n_valid,
                key):
             if self._local_prefill is not None:
-                lp_fn = self._local_prefill if final \
-                    else self._local_prefill_mid
+                if split:
+                    lp_fn = self._local_prefill_split if final \
+                        else self._local_prefill_split_mid
+                else:
+                    lp_fn = self._local_prefill if final \
+                        else self._local_prefill_mid
                 logits, cache = lp_fn(
                     params, meta, cache, tokens, slot, pos0, n_valid)
             elif self.is_hymeta:

@@ -474,6 +474,152 @@ def prefill(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
     return logits, {"layers": new_layers}
 
 
+def prefill_split(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
+                  tokens: jax.Array, slot: jax.Array, pos0: jax.Array,
+                  n_valid: jax.Array, pctx,
+                  need_logits: bool = True) -> Tuple[jax.Array, dict]:
+    """Split-T prefill: ONE request's chunk token-sharded over the data
+    ranks (see gla_swa.prefill_split for the scheme; VERDICT r3 item 6).
+
+    70B specifics relative to the 7B:
+      * every layer runs BOTH branches; the metatoken pass uses the
+        replicated meta caches against local queries, so only the
+        windowed/causal pass needs the key all-gather;
+      * global layers (window=0) attend the FULL prefix, so the per-rank
+        context must include every earlier key, not just the last R: the
+        key timeline is [pad(T-Tl) ∥ ring(R) ∥ chunk(T)] and each rank
+        takes the static-size slice [seg0, seg0 + (T-Tl) + R + Tl) —
+        ctx_len = R + T - Tl keeps the splash index-alignment contract
+        for both mask modes (the window mask never visits the extra
+        blocks, so windowed layers pay nothing for the padding);
+      * the slot's GLA state is meta-seeded — owner-broadcast like the
+        ring context.
+    """
+    T = tokens.shape[0]
+    M = cfg.num_meta_tokens
+    dp = jax.lax.axis_size(pctx.data_axis)
+    Tl = T // dp
+    assert Tl * dp == T, (T, dp)
+    r = pctx.data_rank()
+    seg0 = r * Tl
+    P = T - Tl                               # junk-pad before the ring
+    lbs = lower_bound_table(cfg, params)
+    n_local_slots = cache["layers"][0]["state"].shape[0]
+    lslot, owned = pctx.local_slot(slot, n_local_slots)
+    H, Hkv = common.local_heads(cfg, pctx)
+    D = cfg.head_dim
+    rep = H // Hkv
+    scale = D ** -0.5
+
+    positions_f = pos0 + jnp.arange(T, dtype=jnp.int32)
+    valid_f = jnp.arange(T) < n_valid
+    kp_full = jnp.where(valid_f, positions_f, swa.INVALID_POS)
+    toks_l = jax.lax.dynamic_slice(tokens, (seg0,), (Tl,))
+    pos_l = jax.lax.dynamic_slice(positions_f, (seg0,), (Tl,))
+    valid_l = jax.lax.dynamic_slice(valid_f, (seg0,), (Tl,))
+    rope_pos = pos_l + M
+    x = common.embed_vp(params["embed"], toks_l, pctx)
+
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        window = cfg.layer_window(i)
+
+        # ---- SWA branch: windowed/causal pass + metatoken pass
+        swa_qkv, gla_qkv = _project_both(cfg, ap, y[None], pctx)
+        q, k, v = swa_qkv
+        cos, sin = naive.rope_cos_sin(rope_pos[None], D, cfg.rope_theta)
+        q = naive.apply_rope(q, cos, sin)[0]
+        k = naive.apply_rope(k, cos, sin)[0]
+        v = v[0]                                            # [Tl, Hkv, D]
+        k_full = pctx.data_all_gather(k, axis=0)            # [T, Hkv, D]
+        v_full = pctx.data_all_gather(v, axis=0)
+        ctx_k, ctx_v, ctx_pos = common.gather_ring_context(lc, lslot, pos0)
+        ctx_k = pctx.psum_data(jnp.where(owned, ctx_k, 0.0))
+        ctx_v = pctx.psum_data(jnp.where(owned, ctx_v, 0.0))
+        R = ctx_k.shape[0]
+        C = R + P                                           # static ctx_len
+        pad_k = jnp.zeros((P, Hkv, D), k_full.dtype)
+        allk = jnp.concatenate([pad_k, ctx_k, k_full], axis=0)
+        allv = jnp.concatenate([pad_k, ctx_v, v_full], axis=0)
+        allp = jnp.concatenate(
+            [jnp.full((P,), swa.INVALID_POS, jnp.int32), ctx_pos, kp_full])
+        k_in = jax.lax.dynamic_slice(allk, (seg0, 0, 0), (C + Tl, Hkv, D))
+        v_in = jax.lax.dynamic_slice(allv, (seg0, 0, 0), (C + Tl, Hkv, D))
+        kp_in = jax.lax.dynamic_slice(allp, (seg0,), (C + Tl,))
+        qp = jnp.where(valid_l, pos_l, swa.INVALID_POS)
+        out1, lse1 = swa.flash_window_prefill(
+            q, k_in, v_in, qp, kp_in, window, ctx_len=C,
+            mask_mode="window" if window > 0 else "causal")
+        out2, lse2 = swa.flash_window_prefill(
+            q, meta["k"][i], meta["v"][i],
+            qp, jnp.zeros((M,), jnp.int32), 0, mask_mode="all")
+        mo, _ = swa.merge_two(
+            jnp.swapaxes(out1, 0, 1).astype(jnp.float32), lse1,
+            jnp.swapaxes(out2, 0, 1).astype(jnp.float32), lse2)
+        swa_out = jnp.swapaxes(mo, 0, 1).astype(y.dtype)    # [Tl, H, D]
+        lc = cache_lib.write_prefill_kv(lc, lslot, k_full, v_full,
+                                        positions_f, valid_f, enable=owned)
+
+        # ---- GLA branch (associative split, see gla_swa.prefill_split)
+        lb = _layer_lower_bound(cfg, lbs, i, pctx)
+        qg, kg, vg, g = _gla_qkvg(
+            cfg, ap["gla"], y, lb, pctx,
+            qkv=tuple(t[0] for t in gla_qkv))
+        kg = jnp.where(valid_l[:, None, None], kg, 0.0)
+        vg = jnp.where(valid_l[:, None, None], vg, 0.0)
+        g = jnp.where(valid_l[:, None, None], g, 0.0)
+        o0, U = gla_chunk.gla_chunked(
+            qg.transpose(1, 0, 2)[None], kg.transpose(1, 0, 2)[None],
+            vg.transpose(1, 0, 2)[None], g.transpose(1, 0, 2)[None],
+            initial_state=jnp.zeros((1, kg.shape[1], D, D), jnp.float32))
+        gf = g.astype(jnp.float32)
+        bts = pctx.data_all_gather(jnp.sum(gf, axis=0)[None], axis=0)
+        Us = pctx.data_all_gather(U[0][None], axis=0)
+        S0 = pctx.psum_data(jnp.where(
+            owned, lc["state"][lslot].astype(jnp.float32), 0.0))
+        S_cur = S0
+        prefix = []
+        for j in range(dp):
+            prefix.append(S_cur)
+            S_cur = jnp.exp(bts[j])[..., None] * S_cur + Us[j]
+        S_out = S_cur
+        S_in = jnp.stack(prefix)[r]
+        grep = kg.shape[1]
+        qrep = qg.shape[1] // grep
+        qs = (qg.astype(jnp.float32) * scale
+              * jnp.repeat(jnp.exp(jnp.cumsum(gf, axis=0)), qrep, axis=1))
+        o_corr = jnp.einsum("thd,hdv->thv", qs,
+                            jnp.repeat(S_in, qrep, axis=0))
+        gla_out = o0[0].transpose(1, 0, 2).astype(jnp.float32) + o_corr
+        lc = dict(lc)
+        S_new = jnp.where(owned, S_out.astype(lc["state"].dtype),
+                          lc["state"][lslot])
+        lc["state"] = lc["state"].at[lslot].set(S_new)
+        new_layers.append(lc)
+
+        att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
+                            common.merge_heads(gla_out.astype(y.dtype)),
+                            pctx)
+        y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                          cfg.norm_eps)
+        x = res + _ffn(cfg, lp, y2, pctx=pctx)
+
+    if not need_logits:
+        return jnp.zeros((cfg.vocab_size,), jnp.float32), \
+            {"layers": new_layers}
+    gi = n_valid - 1
+    li = jnp.clip(gi - seg0, 0, Tl - 1)
+    x_last = jnp.where(gi // Tl == r, x[li], 0.0)
+    x_last = jax.lax.psum(x_last, pctx.data_axis)
+    x_last = naive.rms_norm(x_last, params["final_norm"]["w"], cfg.norm_eps)
+    logits = common.lm_head_gather(params["lm_head"], x_last, pctx)
+    return logits, {"layers": new_layers}
+
+
 def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
                   tokens: jax.Array,       # [T] prefill chunk (padded)
                   slot: jax.Array,         # scalar int32

@@ -84,6 +84,14 @@ class ParallelCtx:
             return jnp.int32(0)
         return jax.lax.axis_index(self.data_axis)
 
+    def data_all_gather(self, x, axis: int = 0):
+        """Concatenate per-rank shards along `axis` across the data axis
+        (split-T prefill: reassemble the chunk's keys / per-rank GLA
+        summaries). Identity without a data axis."""
+        if not self.data_axis:
+            return x
+        return jax.lax.all_gather(x, self.data_axis, axis=axis, tiled=True)
+
     def local_slot(self, slot: jax.Array, n_local: int
                    ) -> Tuple[jax.Array, jax.Array]:
         """Map a global slot id to (local index, owned-here mask) when the

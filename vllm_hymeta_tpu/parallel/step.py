@@ -97,6 +97,37 @@ def make_local_prefill_group(cfg, mesh: Mesh, params: dict, cache: dict,
         out_specs=(P("data", None), cspecs))
 
 
+def make_local_prefill_split(cfg, mesh: Mesh, params: dict, cache: dict,
+                             meta: Optional[dict],
+                             need_logits: bool = True):
+    """Split-T prefill: ONE request's chunk token-sharded over the data
+    ranks (each rank computes T/dp tokens through all matmuls) — the
+    single-long-prompt path where owner-masked replication would waste
+    (dp-1)/dp of the mesh.  Tokens arrive replicated [T]; the model fn
+    slices per-rank internally (it needs the full chunk for the KV
+    all-gather anyway)."""
+    model = get_model(cfg)
+    is_hymeta = isinstance(cfg, HymetaConfig)
+    pctx = ParallelCtx(model_axis="model", data_axis="data")
+    pspecs = sharding.param_specs(cfg, params)
+    cspecs = sharding.cache_specs(cache)
+    mspecs = sharding.meta_specs(meta) if meta is not None else None
+
+    def local(params, meta, cache, tokens, slot, pos0, n_valid):
+        if is_hymeta:
+            return model.prefill_split(
+                cfg, params, meta, cache, tokens, slot, pos0, n_valid,
+                pctx=pctx, need_logits=need_logits)
+        return model.prefill_split(
+            cfg, params, cache, tokens, slot, pos0, n_valid,
+            pctx=pctx, need_logits=need_logits)
+
+    return _shard_map(
+        local, mesh,
+        in_specs=(pspecs, mspecs, cspecs, REPL, REPL, REPL, REPL),
+        out_specs=(REPL, cspecs))
+
+
 def make_local_decode(cfg, mesh: Mesh, params: dict, cache: dict,
                       meta: Optional[dict]):
     """shard_map-wrapped (un-jitted) decode(params, meta, cache, tokens,
