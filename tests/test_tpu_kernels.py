@@ -442,3 +442,39 @@ def test_gla_chunked_pallas_gqa_matches_ref():
     assert o_p.shape == (B, Hq, T, D) and s_p.shape == (B, Hkv, D, D)
     assert _rms(o_p, o_r) < 2e-2, _rms(o_p, o_r)
     assert _rms(s_p, s_r) < 2e-2, _rms(s_p, s_r)
+
+
+def test_gla_decode_active_matches_ref():
+    """N3 kernel: active-gated in-place state update must match the XLA
+    composition; INACTIVE slots' state must be bit-identical (the
+    aliased buffer is never touched) and their o rows zero."""
+    import jax
+    import jax.numpy as jnp
+    from vllm_hymeta_tpu.ops import naive
+    from vllm_hymeta_tpu.ops.gla_decode_pallas import gla_decode_active
+
+    S, Hq, Hkv, D = 8, 8, 4, 128
+    rs = np.random.RandomState(11)
+    q = jnp.asarray(rs.randn(S, Hq, D), jnp.bfloat16)
+    k = jnp.asarray(rs.randn(S, Hkv, D), jnp.bfloat16)
+    v = jnp.asarray(rs.randn(S, Hkv, D), jnp.bfloat16)
+    g = jnp.asarray(-np.abs(rs.randn(S, Hkv, D)) * 0.1, jnp.float32)
+    state = jnp.asarray(rs.randn(S, Hkv, D, D), jnp.float32)
+    for pattern in ([True] * 8, [True, False] * 4,
+                    [False] * 7 + [True], [False] * 8):
+        active = jnp.asarray(pattern)
+        S_old = state.astype(jnp.float32)
+        o_ref, S_ref = naive.gla_decode_step(q, k, v, g, S_old)
+        S_ref = jnp.where(active[:, None, None, None], S_ref, S_old)
+        o_ref = jnp.where(active[:, None, None], o_ref, 0.0)
+        # state is donated on the TPU path: pass a fresh copy
+        o, S_new = gla_decode_active(q, k, v, g, state + 0, active)
+        assert _rms(np.asarray(o, np.float32),
+                    np.asarray(o_ref, np.float32)) < 2e-2
+        np.testing.assert_allclose(np.asarray(S_new), np.asarray(S_ref),
+                                   rtol=2e-2, atol=2e-2)
+        inact = ~np.asarray(active)
+        if inact.any():
+            np.testing.assert_array_equal(
+                np.asarray(S_new)[inact], np.asarray(state)[inact])
+            assert float(np.abs(np.asarray(o, np.float32)[inact]).max()) == 0.0

@@ -76,21 +76,24 @@ def run_scheme(scheme: str):
     @jax.jit
     def tf_seg(params, tokens, targets):
         lg = model.forward_full(cfg, params, tokens[None])[0]  # [seg, V]
+        top2 = jax.lax.top_k(lg, 2)[0]                  # [seg, 2]
         arg = jnp.argmax(lg, axis=-1).astype(jnp.int32)
         logz = jax.nn.logsumexp(lg, axis=-1)
         nll = jnp.mean(logz - jnp.take_along_axis(
             lg, targets[:, None], axis=-1)[:, 0])
-        return arg, nll, lg[seg // 2]
+        return arg, top2[:, 0] - top2[:, 1], nll, lg[seg // 2]
 
-    args_, nlls, lrows = [], [], []
+    args_, margins_, nlls, lrows = [], [], [], []
     for s in range(n_seg):
-        a, n_, r_ = tf_seg(
+        a, m_, n_, r_ = tf_seg(
             params, jnp.asarray(stream[s * seg:(s + 1) * seg], jnp.int32),
             jnp.asarray(stream[s * seg + 1:(s + 1) * seg + 1], jnp.int32))
         args_.append(np.asarray(a))
+        margins_.append(np.asarray(m_, np.float32))
         nlls.append(float(n_))
         lrows.append(np.asarray(r_, np.float32))
     arg = np.concatenate(args_)
+    margin = np.concatenate(margins_)
     nll = float(np.mean(nlls))
     logit_rows = np.stack(lrows)
 
@@ -110,21 +113,36 @@ def run_scheme(scheme: str):
     outs = np.asarray([r.output for r in reqs], np.int32)
 
     np.savez(f"/tmp/parity_{scheme}.npz", greedy=outs, tf_argmax=arg,
-             nll=np.float32(nll), logit_rows=logit_rows, rows=rows)
+             margin=margin, nll=np.float32(nll), logit_rows=logit_rows,
+             rows=rows)
     print(json.dumps({"scheme": scheme, "nll": round(nll, 5),
                       "greedy_shape": list(outs.shape)}), flush=True)
 
 
 def report():
+    """Compare the scheme dumps against bf16.
+
+    CAVEAT that shapes the metrics: with SEEDED RANDOM weights the output
+    distribution is near-uniform over the 152k vocab (nll ~ 12.6 vs
+    log V = 11.93), so raw argmax agreement is a near-tie coin flip — any
+    |dlogit| perturbation flips it.  The meaningful axes are dlog-ppl
+    (the north-star "ppl delta vs bf16 ~ 0") and MARGIN-CONDITIONED
+    argmax agreement: among positions where bf16's top-1 beats top-2 by
+    more than m, does the quantized model pick the same token?  A real
+    checkpoint's distributions are sharp (typical margins >> 1), so the
+    m-conditioned columns are the transferable statement."""
     base = np.load("/tmp/parity_bf16.npz")
     lines = []
-    print("| scheme | greedy agree | exact-prefix (of 128) | tf argmax "
-          "agree | mean\\|dlogit\\| | dlog-ppl |")
-    print("|---|---|---|---|---|---|")
+    has_margin = "margin" in base
+    mcols = ("| agree@m>0.5 | agree@m>1 | agree@m>2 "
+             if has_margin else "")
+    print("| scheme | greedy agree | tf argmax agree "
+          f"{mcols}| mean\\|dlogit\\| | dlog-ppl |")
+    print("|---|---|---|" + ("---|---|---|" if has_margin else "")
+          + "---|---|")
     for scheme in SCHEMES:
         d = np.load(f"/tmp/parity_{scheme}.npz")
         ga = float((d["greedy"] == base["greedy"]).mean())
-        # exact prefix length per prompt
         neq = d["greedy"] != base["greedy"]
         first = np.where(neq.any(1), neq.argmax(1), d["greedy"].shape[1])
         ta = float((d["tf_argmax"] == base["tf_argmax"]).mean())
@@ -135,11 +153,19 @@ def report():
                "tf_argmax_agreement": round(ta, 4),
                "mean_abs_dlogit": round(dl, 4),
                "dlog_ppl_vs_bf16": round(dnll, 5)}
+        mtxt = ""
+        if has_margin:
+            eq = d["tf_argmax"] == base["tf_argmax"]
+            for m in (0.5, 1.0, 2.0):
+                sel = base["margin"] > m
+                a = float(eq[sel].mean()) if sel.any() else float("nan")
+                row[f"tf_agree_margin_gt_{m}"] = round(a, 4)
+                row[f"frac_margin_gt_{m}"] = round(float(sel.mean()), 4)
+                mtxt += f"| {a:.4f} "
         lines.append(row)
         print(f"| {scheme} | {row['greedy_token_agreement']:.4f} "
-              f"| {row['mean_exact_prefix']} "
               f"| {row['tf_argmax_agreement']:.4f} "
-              f"| {row['mean_abs_dlogit']:.4f} "
+              f"{mtxt}| {row['mean_abs_dlogit']:.4f} "
               f"| {row['dlog_ppl_vs_bf16']:+.5f} |")
     print()
     for row in lines:

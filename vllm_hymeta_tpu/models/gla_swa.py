@@ -661,12 +661,13 @@ def decode(cfg: GLAswaConfig, params: dict, cache: dict,
                 ap["o_proj"], common.merge_heads(out.astype(y.dtype))))
         else:
             q, k, v, g = _gla_qkvg(cfg, ap, y, pctx)  # [S, H, D]
-            S_old = lc["state"].astype(jnp.float32)
-            o, S_new = naive.gla_decode_step(q, k, v, g, S_old)
-            S_new = jnp.where(active[:, None, None, None], S_new, S_old)
-            o = jnp.where(active[:, None, None], o, 0.0)
+            from vllm_hymeta_tpu.ops.gla_decode_pallas import \
+                gla_decode_active
+            # N3 kernel: state HBM traffic ∝ active slots (aliased
+            # in-place update; inactive rows untouched, o rows zeroed)
+            o, S_new = gla_decode_active(q, k, v, g, lc["state"], active)
             att = _gla_out(cfg, ap, o, pctx)
-            lc = {"state": S_new.astype(lc["state"].dtype)}
+            lc = {"state": S_new}
         new_layers.append(lc)
         y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
                                          cfg.norm_eps)

@@ -882,12 +882,12 @@ def decode(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         lb = _layer_lower_bound(cfg, lbs, i, pctx)
         qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb, pctx,
                                   qkv=gla_qkv)
-        S_old = lc["state"].astype(jnp.float32)
-        o, S_new = naive.gla_decode_step(qg, kg, vg, g, S_old)
-        S_new = jnp.where(active[:, None, None, None], S_new, S_old)
-        o = jnp.where(active[:, None, None], o, 0.0)
+        from vllm_hymeta_tpu.ops.gla_decode_pallas import gla_decode_active
+        # N3 kernel: state HBM traffic ∝ active slots (aliased in-place
+        # update; inactive rows untouched, o rows zeroed)
+        o, S_new = gla_decode_active(qg, kg, vg, g, lc["state"], active)
         lc = dict(lc)
-        lc["state"] = S_new.astype(lc["state"].dtype)
+        lc["state"] = S_new
         new_layers.append(lc)
 
         att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
