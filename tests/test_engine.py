@@ -388,3 +388,55 @@ class TestMixedPrefillDecode:
         b1, b2 = self._run(cfg, params, mixed=True, is_hymeta=True)
         assert a1 == b1
         assert a2 == b2
+
+
+class TestMixedBatchedPrefill:
+    """Batched-mixed: B same-bucket chunks + the decode batch in ONE
+    dispatch.  Greedy outputs must match the alternating scheduler."""
+
+    def _run(self, cfg, params, mixed: bool, pbatch: int, is_hymeta=False):
+        eng = Engine(cfg, params, EngineConfig(
+            max_num_seqs=8, max_model_len=256, prefill_chunk=32,
+            prefill_buckets=(16, 32), decode_block=4,
+            prefill_batch=pbatch, mixed_prefill_decode=mixed))
+        sp = SamplingParams(temperature=0.0, max_tokens=10,
+                            ignore_eos=True)
+        rs = np.random.RandomState(5)
+        p0 = list(rs.randint(0, cfg.vocab_size, size=20))
+        later = [list(rs.randint(0, cfg.vocab_size, size=n))
+                 for n in (24, 30, 28, 90)]
+        used_batched = []
+        if pbatch > 1 and mixed:
+            orig = eng._prefill_mixed_batched_fn
+
+            def spy(bucket, B):
+                used_batched.append((bucket, B))
+                return orig(bucket, B)
+            eng._prefill_mixed_batched_fn = spy
+        r0 = eng.add_request(p0, sp)
+        while not any(eng.active):
+            eng.step()
+        rids = [eng.add_request(p, sp) for p in later]
+        done = {}
+        while eng.has_work():
+            for r in eng.step():
+                done[r.req_id] = r
+        if pbatch > 1 and mixed:
+            assert used_batched, "batched-mixed prefill was not used"
+        return [done[r].output for r in [r0] + rids]
+
+    def test_glaswa_batched_mixed_equals_alternating(self):
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(13),
+                                     dtype=jnp.float32)
+        a = self._run(cfg, params, mixed=False, pbatch=1)
+        b = self._run(cfg, params, mixed=True, pbatch=4)
+        assert a == b
+
+    def test_hymeta_batched_mixed_equals_alternating(self):
+        cfg = tiny_hymeta()
+        params = hymeta.init_params(cfg, jax.random.PRNGKey(14),
+                                    dtype=jnp.float32)
+        a = self._run(cfg, params, mixed=False, pbatch=1, is_hymeta=True)
+        b = self._run(cfg, params, mixed=True, pbatch=4, is_hymeta=True)
+        assert a == b

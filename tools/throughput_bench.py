@@ -56,13 +56,23 @@ def main():
     tp = int(os.environ.get("TP", 1))
     # pre-fusion on the host only matches the engine's layout at tp=1
     params = build_params(cfg, scheme, fuse=(tp == 1))
-    bucket = 1 << (input_len - 1).bit_length()
+    # tightest 128-aligned bucket covering the jittered prompts (a pow2
+    # bucket pads ~45% at 550-token sonnet prompts); BUCKET env overrides
+    bucket = int(os.environ.get(
+        "BUCKET", -((input_len + 64) // -128) * 128))
     ecfg = EngineConfig(max_num_seqs=max_num_seqs,
                         max_model_len=input_len + output_len + 64,
                         prefill_chunk=bucket,
                         prefill_buckets=(bucket,),
-                        kv_dtype="bfloat16",
-                        decode_block=16)
+                        prefill_batch_wait=int(
+                            os.environ.get("BATCH_WAIT", 8)),
+                        kv_dtype=os.environ.get("KV_DTYPE", "bfloat16"),
+                        decode_block=int(os.environ.get("DECODE_BLOCK", 16)),
+                        prefill_batch=int(os.environ.get("PREFILL_BATCH", 8)),
+                        prefill_chunk_active=int(
+                            os.environ.get("CHUNK_ACTIVE", 1024)),
+                        mixed_prefill_decode=os.environ.get(
+                            "MIXED", "1") == "1")
     mesh = None
     if tp > 1:
         from vllm_hymeta_tpu.parallel import make_mesh
@@ -84,7 +94,10 @@ def main():
     while B <= min(ecfg.prefill_batch, max_num_seqs):
         eng.generate(prompts[:B], sp)
         B *= 2
-    eng.generate(prompts[:max_num_seqs], sp)
+    # steady-state warmup: 1.5x the slot count so slot REFILLS happen
+    # while decodes run — compiles the (batched-)mixed prefill programs
+    # the measured run uses
+    eng.generate(prompts[:max_num_seqs * 3 // 2], sp)
 
     metrics = EngineMetrics(eng)
     t0 = time.perf_counter()
@@ -103,6 +116,9 @@ def main():
         "input_len": input_len,
         "output_len": output_len,
         "max_num_seqs": max_num_seqs,
+        "mixed": ecfg.mixed_prefill_decode,
+        "chunk_active": ecfg.prefill_chunk_active,
+        "decode_block": ecfg.decode_block,
         "elapsed_s": round(elapsed, 2),
         "engine": metrics.to_dict(),
     }

@@ -75,6 +75,15 @@ class EngineConfig:
     # stalling behind it.  Single-device path; the mesh engine keeps
     # alternation.
     mixed_prefill_decode: bool = True
+    # throughput mode: while decodes are active and MORE requests are
+    # waiting, defer prefill until this many slots have freed, so the
+    # (batched-)mixed step runs at B ~ prefill_batch instead of the
+    # B ~ 1 that staggered completions produce (r4 sonnet trace: 318
+    # real tokens per 161 ms single-request mixed step).  Decodes keep
+    # running while the batch accumulates, so inter-token latency stays
+    # decode-block bounded; TTFT of the deferred prompts grows by a few
+    # decode blocks.  0 = off (latency mode, the server default).
+    prefill_batch_wait: int = 0
 
 
 @dataclasses.dataclass
@@ -395,9 +404,149 @@ class Engine:
         self._compiled_prefill[key_] = jfn
         return jfn
 
+    def _prefill_mixed_batched_fn(self, bucket: int, B: int):
+        """B same-bucket chunks + one decode step for the active slots in
+        one program, with sampling for all rows (host emits only rows
+        whose prompt completed)."""
+        key_ = ("mixedB", bucket, B)
+        if key_ in self._compiled_prefill:
+            return self._compiled_prefill[key_]
+
+        def fn(params, meta, cache, samp, tokens, slots, pos0, n_valid,
+               d_tokens, d_positions, d_active, key):
+            from vllm_hymeta_tpu.models import common as _common
+            params = _common.prepare_decode_params(params)
+            if self.is_hymeta:
+                p_logits, d_logits, cache = self.model.prefill_mixed_batched(
+                    self.cfg, params, meta, cache, tokens, slots, pos0,
+                    n_valid, d_tokens, d_positions, d_active)
+            else:
+                p_logits, d_logits, cache = self.model.prefill_mixed_batched(
+                    self.cfg, params, cache, tokens, slots, pos0,
+                    n_valid, d_tokens, d_positions, d_active)
+            kp, kd = jax.random.split(key)
+            # decode rows
+            raw_d = d_logits.astype(jnp.float32)
+            lg_d = sampler_lib.apply_repetition_penalty(
+                raw_d, samp["seen"], samp["rep_penalty"])
+            d_ids = sampler_lib.sample(
+                lg_d, kd, samp["temperature"], samp["top_k"],
+                samp["top_p"])
+            d_ids = jnp.where(d_active, d_ids, d_tokens)
+            lp_d = ()
+            if self.ecfg.logprobs_topk > 0:
+                lp_d = sampler_lib.token_logprobs(
+                    raw_d, d_ids, self.ecfg.logprobs_topk)
+            samp = dict(samp)
+            rows = jnp.arange(d_ids.shape[0])
+            seen_rows = samp["seen"][rows, d_ids]
+            samp["seen"] = samp["seen"].at[rows, d_ids].set(
+                jnp.where(d_active, True, seen_rows))
+            # prefill rows (sampled for every row; the host emits only
+            # rows whose prompt completed this chunk)
+            raw_p = p_logits.astype(jnp.float32)              # [B, V]
+            lg_p = sampler_lib.apply_repetition_penalty(
+                raw_p, samp["seen"][slots], samp["rep_penalty"][slots])
+            p_toks = sampler_lib.sample(
+                lg_p, kp, samp["temperature"][slots],
+                samp["top_k"][slots], samp["top_p"][slots])
+            lp_p = ()
+            if self.ecfg.logprobs_topk > 0:
+                lp_p = sampler_lib.token_logprobs(
+                    raw_p, p_toks, self.ecfg.logprobs_topk)
+            return p_toks, lp_p, d_ids, lp_d, cache, samp
+
+        jfn = jax.jit(fn, donate_argnums=(2, 3))
+        self._compiled_prefill[key_] = jfn
+        return jfn
+
+    def _step_mixed_batched(self, group: List[Request], bucket: int,
+                            finished: List[Request]):
+        """Batched mixed step: advance B prompts one chunk each AND emit
+        one token for every active slot, in one dispatch."""
+        B = len(group)
+        tokens = np.zeros((B, bucket), np.int32)
+        slots = np.zeros((B,), np.int32)
+        pos0 = np.zeros((B,), np.int32)
+        nval = np.zeros((B,), np.int32)
+        for b, r in enumerate(group):
+            n = min(len(r.prompt) - r.prefill_done, bucket)
+            tokens[b, :n] = r.prompt[r.prefill_done:r.prefill_done + n]
+            slots[b] = r.slot
+            pos0[b] = r.prefill_done
+            nval[b] = n
+        S = self.ecfg.max_num_seqs
+        d_tokens = np.zeros((S,), np.int32)
+        was_active = self.active.copy()
+        for slot, req in self.slot_req.items():
+            if was_active[slot]:
+                d_tokens[slot] = req.output[-1]
+        fn = self._prefill_mixed_batched_fn(bucket, B)
+        self.rng, k_ = jax.random.split(self.rng)
+        (p_toks, lp_p, d_ids, lp_d, self.cache, self.samp_state) = fn(
+            self.params, self.meta, self.cache, self.samp_state,
+            jnp.asarray(tokens), jnp.asarray(slots), jnp.asarray(pos0),
+            jnp.asarray(nval), jnp.asarray(d_tokens),
+            jnp.asarray(self.positions.astype(np.int32)),
+            jnp.asarray(was_active), k_)
+        # harvest decode tokens
+        ids = np.asarray(d_ids)
+        lps = tuple(np.asarray(a) for a in lp_d) if lp_d else None
+        in_group = {r.slot for r in group}
+        for slot in list(self.slot_req):
+            req = self.slot_req[slot]
+            if not was_active[slot] or slot in in_group:
+                continue
+            self.positions[slot] += 1
+            lp = None
+            if lps is not None and req.params.logprobs > 0:
+                lp = (float(lps[0][slot]), lps[1][slot], lps[2][slot])
+            self._emit(req, int(ids[slot]), finished, lp)
+        # advance the prefills; emit first tokens for completed prompts
+        ptoks = None
+        plps = None
+        for b, r in enumerate(group):
+            r.prefill_done += int(nval[b])
+            self.positions[r.slot] = r.prefill_done
+            if r.prefill_done >= len(r.prompt):
+                if ptoks is None:
+                    ptoks = np.asarray(p_toks)
+                    plps = tuple(np.asarray(a) for a in lp_p) \
+                        if lp_p else None
+                lp = None
+                if plps is not None and r.params.logprobs > 0:
+                    lp = (float(plps[0][b]), plps[1][b], plps[2][b])
+                self._emit(r, int(ptoks[b]), finished, lp)
+                if not r.finished:
+                    self.active[r.slot] = True
+        return finished
+
     def _step_mixed(self, pre: Request, finished: List[Request]):
         """Mixed prefill+decode step: advance `pre`'s prompt by one chunk
         AND emit one token for every active slot, in one dispatch."""
+        # batch same-bucket pending prompts into one mixed dispatch: with
+        # staggered completions, one-request-at-a-time mixed steps
+        # serialize ingestion (r4 sonnet trace: 318 real tokens per
+        # 161 ms step); the batched-mixed program keeps decode cadence
+        # AND batched-matmul prefill efficiency
+        if (self.ecfg.prefill_batch > 1
+                and hasattr(self.model, "prefill_mixed_batched")):
+            cap = self._chunk_cap()
+            pending = [r for r in self.slot_req.values()
+                       if r.prefill_done < len(r.prompt)]
+            by_bucket: Dict[int, List[Request]] = {}
+            for r in pending:
+                n = min(len(r.prompt) - r.prefill_done, cap)
+                by_bucket.setdefault(self._bucket_for(n), []).append(r)
+            if by_bucket:
+                bucket, grp = max(by_bucket.items(),
+                                  key=lambda kv: len(kv[1]))
+                if len(grp) >= 2:
+                    B = 1
+                    while B * 2 <= min(len(grp), self.ecfg.prefill_batch):
+                        B *= 2
+                    return self._step_mixed_batched(grp[:B], bucket,
+                                                    finished)
         n_left = len(pre.prompt) - pre.prefill_done
         n = min(n_left, self._chunk_cap())
         bucket = self._bucket_for(n)
@@ -750,7 +899,14 @@ class Engine:
         # slot in ONE dispatch — no alternation, no decode stall
         if (pre is not None and self.ecfg.mixed_prefill_decode
                 and self.mesh is None and any(self.active)):
-            return self._step_mixed(pre, finished)
+            wait_n = self.ecfg.prefill_batch_wait
+            if (wait_n > 1 and self.waiting
+                    and len(pending) < wait_n):
+                # throughput mode: let the decode block run while freed
+                # slots accumulate into a full prefill batch
+                pre = None
+            else:
+                return self._step_mixed(pre, finished)
 
         if pre is not None and self._last_was_prefill and any(self.active):
             pre = None

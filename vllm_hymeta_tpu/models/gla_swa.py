@@ -547,6 +547,123 @@ def prefill_mixed(cfg: GLAswaConfig, params: dict, cache: dict,
         {"layers": new_layers}
 
 
+def prefill_mixed_batched(cfg: GLAswaConfig, params: dict, cache: dict,
+                          tokens: jax.Array,       # [B, T] (padded)
+                          slots: jax.Array,        # [B] int32
+                          pos0: jax.Array,         # [B]
+                          n_valid: jax.Array,      # [B]
+                          d_tokens: jax.Array,     # [S]
+                          d_positions: jax.Array,  # [S]
+                          d_active: jax.Array,     # [S] bool
+                          ) -> Tuple[jax.Array, jax.Array, dict]:
+    """B same-bucket chunks + one decode step for every active slot in
+    ONE program: the decode rows and ALL B chunks share every
+    projection/MLP/LM-head weight stream.  This is the full TPU form of
+    the reference's `[meta | prefills | decodes]` batch layout
+    (`attention/meta_attention.py:612-639`): under continuous batching
+    with staggered completions, single-request mixed steps serialize
+    prompt ingestion — this keeps decode latency bounded AND prefill at
+    batched-matmul efficiency.
+
+    Returns (prefill_logits [B, V], decode_logits [S, V], cache)."""
+    B, T = tokens.shape
+    S = d_tokens.shape[0]
+    N = B * T
+    positions = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    valid = jnp.arange(T)[None] < n_valid[:, None]            # [B, T]
+    all_tokens = jnp.concatenate([tokens.reshape(N), d_tokens])
+    x = common.embed_vp(params["embed"], all_tokens, NULL_CTX)  # [N+S, h]
+    H, Hkv = cfg.num_attention_heads, cfg.num_key_value_heads
+    D = cfg.head_dim
+
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        if cfg.is_swa_layer(i):
+            q, k, v = common.project_qkv(ap, y[None], H, Hkv, D)
+            q, k, v = q[0], k[0], v[0]                        # [N+S, *, D]
+            # --- prefill rows (identical to prefill_batched) ---
+            qp_ = q[:N].reshape(B, T, H, D)
+            kp_ = k[:N].reshape(B, T, Hkv, D)
+            vp_ = v[:N].reshape(B, T, Hkv, D)
+            qp_, kp_ = _swa_rope(cfg, qp_, kp_, positions)
+            ctx_k, ctx_v, ctx_pos = common.gather_ring_context_batched(
+                lc, slots, pos0)
+            R = ctx_k.shape[1]
+            k_all = jnp.concatenate([ctx_k, kp_], axis=1)
+            v_all = jnp.concatenate([ctx_v, vp_], axis=1)
+            qpos = jnp.where(valid, positions, swa.INVALID_POS)
+            kp_all = jnp.concatenate([ctx_pos, qpos], axis=1)
+            out_p = swa.splash_prefill_batched(
+                qp_, k_all, v_all, kp_all, cfg.window_keys, ctx_len=R)
+            for b in range(B):
+                lc = cache_lib.write_prefill_kv(
+                    lc, slots[b], kp_[b], vp_[b], positions[b], valid[b])
+            # --- decode rows (ring updated first: token attends itself) ---
+            qd, kd = _swa_rope(cfg, q[N:][None], k[N:][None],
+                               d_positions[None])
+            qd, kd, vd = qd[0], kd[0], v[N:]
+            lc = cache_lib.write_decode_kv(lc, kd, vd, d_positions,
+                                           d_active)
+            from vllm_hymeta_tpu.ops.swa_decode_pallas import \
+                fused_decode_attention
+            if lc["k"].dtype == jnp.int8:
+                out_d = fused_decode_attention(
+                    qd, lc["k"], lc["v"], d_positions, cfg.window_keys,
+                    k_scale=lc["k_scale"], v_scale=lc["v_scale"])
+            else:
+                rk, rv = cache_lib.kv_entry(lc)
+                out_d = fused_decode_attention(qd, rk, rv, d_positions,
+                                               cfg.window_keys)
+            out = jnp.concatenate(
+                [out_p.astype(y.dtype).reshape(N, H, D),
+                 out_d.astype(y.dtype)], axis=0)
+            att = linear(ap["o_proj"], common.merge_heads(out))
+        else:
+            q, k, v, g = _gla_qkvg(cfg, ap, y)                # [N+S, *, D]
+            # --- decode rows on the PRE-chunk states (prefill slots are
+            # inactive in d_active, so writes stay disjoint) ---
+            from vllm_hymeta_tpu.ops.gla_decode_pallas import \
+                gla_decode_active
+            S0 = lc["state"][slots].astype(jnp.float32)       # [B,Hkv,D,D]
+            o_d, S_dec = gla_decode_active(q[N:], k[N:], v[N:], g[N:],
+                                           lc["state"], d_active)
+            # --- prefill rows ---
+            qp_ = q[:N].reshape(B, T, H, D)
+            kp_ = jnp.where(valid[..., None, None],
+                            k[:N].reshape(B, T, Hkv, D), 0.0)
+            vp_ = jnp.where(valid[..., None, None],
+                            v[:N].reshape(B, T, Hkv, D), 0.0)
+            gp_ = jnp.where(valid[..., None, None],
+                            g[:N].reshape(B, T, Hkv, D), 0.0)
+            o_p, S_p = gla_chunk.gla_chunked(
+                qp_.transpose(0, 2, 1, 3), kp_.transpose(0, 2, 1, 3),
+                vp_.transpose(0, 2, 1, 3), gp_.transpose(0, 2, 1, 3),
+                initial_state=S0)
+            o = jnp.concatenate(
+                [o_p.transpose(0, 2, 1, 3).astype(jnp.float32
+                                                  ).reshape(N, H, D),
+                 o_d.astype(jnp.float32)], axis=0)
+            att = _gla_out(cfg, ap, o)
+            S_comb = S_dec.at[slots].set(S_p.astype(S_dec.dtype))
+            lc = {"state": S_comb}
+        new_layers.append(lc)
+        y, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                         cfg.norm_eps)
+        x = res + glu_mlp(lp["mlp"], y)
+
+    xp = x[:N].reshape(B, T, -1)
+    x_last = jnp.take_along_axis(
+        xp, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)[:, 0]
+    xh = jnp.concatenate([x_last, x[N:]], axis=0)             # [B+S, h]
+    xh = naive.rms_norm(xh, params["final_norm"]["w"], cfg.norm_eps)
+    logits = common.lm_head_gather(params["lm_head"], xh, NULL_CTX)
+    return logits[:B], logits[B:], {"layers": new_layers}
+
+
 def prefill_batched(cfg: GLAswaConfig, params: dict, cache: dict,
                     tokens: jax.Array,    # [B, T] (padded)
                     slots: jax.Array,     # [B] int32

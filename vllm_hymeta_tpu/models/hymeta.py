@@ -744,6 +744,137 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         {"layers": new_layers}
 
 
+def prefill_mixed_batched(cfg: HymetaConfig, params: dict, meta: dict,
+                          cache: dict,
+                          tokens: jax.Array,       # [B, T] (padded)
+                          slots: jax.Array,        # [B] int32
+                          pos0: jax.Array,         # [B]
+                          n_valid: jax.Array,      # [B]
+                          d_tokens: jax.Array,     # [S]
+                          d_positions: jax.Array,  # [S]
+                          d_active: jax.Array,     # [S] bool
+                          ) -> Tuple[jax.Array, jax.Array, dict]:
+    """B same-bucket 70B chunks + one decode step for the active slots in
+    ONE program — the full `[meta | prefills | decodes]` batch layout of
+    the reference (`attention/meta_attention.py:612-639`); see
+    gla_swa.prefill_mixed_batched for the scheduling rationale.
+
+    Returns (prefill_logits [B, V], decode_logits [S, V], cache)."""
+    B, T = tokens.shape
+    S = d_tokens.shape[0]
+    N = B * T
+    M = cfg.num_meta_tokens
+    lbs = lower_bound_table(cfg, params)
+    positions = pos0[:, None] + jnp.arange(T, dtype=jnp.int32)[None]
+    valid = jnp.arange(T)[None] < n_valid[:, None]            # [B, T]
+    all_tokens = jnp.concatenate([tokens.reshape(N), d_tokens])
+    all_rope = jnp.concatenate([positions.reshape(N), d_positions]) + M
+    x = common.embed_vp(params["embed"], all_tokens, NULL_CTX)  # [N+S, h]
+
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    new_layers = []
+    for i, lp in enumerate(params["layers"]):
+        res = x
+        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+        ap = lp["attn"]
+        lc = cache["layers"][i]
+        window = cfg.layer_window(i)
+
+        swa_qkv, gla_qkv = _project_both(cfg, ap, y[None])
+        q, k, v = swa_qkv
+        cos, sin = naive.rope_cos_sin(all_rope[None], D, cfg.rope_theta)
+        q = naive.apply_rope(q, cos, sin)[0]
+        k = naive.apply_rope(k, cos, sin)[0]
+        v = v[0]                                              # [N+S, *, D]
+
+        # ---- SWA prefill rows: batched windowed splash + meta LSE merge
+        qb = q[:N].reshape(B, T, H, D)
+        kb = k[:N].reshape(B, T, Hkv, D)
+        vb = v[:N].reshape(B, T, Hkv, D)
+        ctx_k, ctx_v, ctx_pos = common.gather_ring_context_batched(
+            lc, slots, pos0)
+        R = ctx_k.shape[1]
+        k_all = jnp.concatenate([ctx_k, kb], axis=1)
+        v_all = jnp.concatenate([ctx_v, vb], axis=1)
+        qp = jnp.where(valid, positions, swa.INVALID_POS)
+        kp_all = jnp.concatenate([ctx_pos, qp], axis=1)
+        out1, lse1 = swa.splash_prefill_batched(
+            qb, k_all, v_all, kp_all, window, ctx_len=R, need_lse=True,
+            mask_mode="window" if window > 0 else "causal")
+
+        def meta_pass(qr, qpr):
+            return swa.flash_window_prefill(
+                qr, meta["k"][i], meta["v"][i], qpr,
+                jnp.zeros((M,), jnp.int32), 0, mask_mode="all")
+        out2, lse2 = jax.vmap(meta_pass)(qb, qp)
+        mo, _ = swa.merge_two(
+            jnp.swapaxes(out1, 1, 2).astype(jnp.float32), lse1,
+            jnp.swapaxes(out2, 1, 2).astype(jnp.float32), lse2)
+        swa_p = jnp.swapaxes(mo, 1, 2).astype(y.dtype)        # [B,T,H,D]
+        for b in range(B):
+            lc = cache_lib.write_prefill_kv(lc, slots[b], kb[b], vb[b],
+                                            positions[b], valid[b])
+        # ---- SWA decode rows (updated ring: token attends itself)
+        lc = cache_lib.write_decode_kv(lc, k[N:], v[N:], d_positions,
+                                       d_active)
+        from vllm_hymeta_tpu.ops.swa_decode_pallas import \
+            fused_decode_attention
+        if lc["k"].dtype == jnp.int8:
+            swa_d = fused_decode_attention(
+                q[N:], lc["k"], lc["v"], d_positions, window,
+                meta["k"][i], meta["v"][i],
+                k_scale=lc["k_scale"], v_scale=lc["v_scale"])
+        else:
+            rk, rv = cache_lib.kv_entry(lc)
+            swa_d = fused_decode_attention(q[N:], rk, rv, d_positions,
+                                           window, meta["k"][i],
+                                           meta["v"][i])
+        swa_out = jnp.concatenate(
+            [swa_p.reshape(N, H, D), swa_d.astype(y.dtype)], axis=0)
+
+        # ---- GLA branch
+        lb = _layer_lower_bound(cfg, lbs, i)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb,
+                                  qkv=tuple(t[0] for t in gla_qkv))
+        from vllm_hymeta_tpu.ops.gla_decode_pallas import gla_decode_active
+        S0 = lc["state"][slots].astype(jnp.float32)           # [B,*,D,D]
+        o_d, S_dec = gla_decode_active(qg[N:], kg[N:], vg[N:], g[N:],
+                                       lc["state"], d_active)
+        qb2 = qg[:N].reshape(B, T, -1, D)
+        kb2 = jnp.where(valid[..., None, None],
+                        kg[:N].reshape(B, T, -1, D), 0.0)
+        vb2 = jnp.where(valid[..., None, None],
+                        vg[:N].reshape(B, T, -1, D), 0.0)
+        gb2 = jnp.where(valid[..., None, None],
+                        g[:N].reshape(B, T, -1, D), 0.0)
+        o_p, S_p = gla_chunk.gla_chunked(
+            qb2.transpose(0, 2, 1, 3), kb2.transpose(0, 2, 1, 3),
+            vb2.transpose(0, 2, 1, 3), gb2.transpose(0, 2, 1, 3),
+            initial_state=S0)
+        gla_out = jnp.concatenate(
+            [o_p.transpose(0, 2, 1, 3).astype(jnp.float32
+                                              ).reshape(N, -1, D),
+             o_d.astype(jnp.float32)], axis=0).astype(y.dtype)
+        lc = dict(lc)
+        lc["state"] = S_dec.at[slots].set(S_p.astype(S_dec.dtype))
+        new_layers.append(lc)
+
+        att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
+                            common.merge_heads(gla_out))
+        y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                          cfg.norm_eps)
+        x = res + _ffn(cfg, lp, y2)
+
+    xp = x[:N].reshape(B, T, -1)
+    x_last = jnp.take_along_axis(
+        xp, jnp.maximum(n_valid - 1, 0)[:, None, None], axis=1)[:, 0]
+    xh = jnp.concatenate([x_last, x[N:]], axis=0)             # [B+S, h]
+    xh = naive.rms_norm(xh, params["final_norm"]["w"], cfg.norm_eps)
+    logits = common.lm_head_gather(params["lm_head"], xh, NULL_CTX)
+    return logits[:B], logits[B:], {"layers": new_layers}
+
+
 def prefill_batched(cfg: HymetaConfig, params: dict, meta: dict,
                     cache: dict,
                     tokens: jax.Array,    # [B, T] (padded)
