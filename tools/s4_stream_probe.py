@@ -40,15 +40,18 @@ STEPS = 32
 
 
 def loop_of(body, prepare=None, n=STEPS):
+    """Chained-loop timing.  The carry is the bf16 activation; each step
+    requantizes it to int8 inside the loop — an int8 carry lets XLA
+    prove the add-epsilon roundtrip is a no-op and HOIST the kernel out
+    of the loop (first probe attempt measured 16 TB/s...)."""
     @jax.jit
-    def run(x0, *ws):
+    def run(xf, *ws):
         if prepare is not None:
             ws = prepare(*ws)   # hoisted above the loop (once per call)
-        def step(i, x):
-            y = body(x, *ws)
-            return (x + jnp.sum(y.astype(jnp.float32)) * 1e-30).astype(
-                x.dtype)
-        return jax.lax.fori_loop(0, n, step, x0)
+        def step(i, xf):
+            y = body(xf.astype(jnp.int8), *ws)
+            return xf + jnp.sum(y.astype(jnp.float32)) * 1e-30
+        return jax.lax.fori_loop(0, n, step, xf)
     return run
 
 
@@ -79,28 +82,25 @@ def make_variant(kind: str, perk: int, bn: int):
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
 
-        if kind == "stream":
-            acc_ref[0, :] += jnp.sum(
-                w_ref[:].astype(jnp.int8).astype(jnp.float32), axis=(0, 1)
-            )[:acc_ref.shape[1]]
+        xg = x_ref[:]
+        if kind == "noconv":
+            # tile still streamed (blockspec fetch) but never converted:
+            # full - noconv = the s4->int8 convert cost
+            w = jnp.ones((perk, g, bn), jnp.int8)
         else:
-            xg = x_ref[:]
-            if kind == "epilogue":
-                w = jnp.ones((perk, g, bn), jnp.int8)
-            else:
-                w = w_ref[:].astype(jnp.int8)
-            p = jax.lax.dot_general(
-                xg, w, (((2,), (1,)), ((0,), (0,))),
-                preferred_element_type=jnp.int32).astype(jnp.float32)
-            if kind == "dot-only":
-                acc_ref[:] += jnp.sum(p, axis=0)
-            else:
-                xsum = jnp.sum(xg.astype(jnp.int32), axis=2
-                               ).astype(jnp.float32)
-                s = s_ref[:, 0].astype(jnp.float32)
-                z = z_ref[:, 0].astype(jnp.float32)
-                y = (p - z[:, None, :] * xsum[:, :, None]) * s[:, None, :]
-                acc_ref[:] += jnp.sum(y, axis=0)
+            w = w_ref[:].astype(jnp.int8)
+        p = jax.lax.dot_general(
+            xg, w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32).astype(jnp.float32)
+        if kind == "dot-only":
+            acc_ref[:] += jnp.sum(p, axis=0)
+        else:
+            xsum = jnp.sum(xg.astype(jnp.int32), axis=2
+                           ).astype(jnp.float32)
+            s = s_ref[:, 0].astype(jnp.float32)
+            z = z_ref[:, 0].astype(jnp.float32)
+            y = (p - z[:, None, :] * xsum[:, :, None]) * s[:, None, :]
+            acc_ref[:] += jnp.sum(y, axis=0)
 
         @pl.when(ik == k_steps - 1)
         def _():
@@ -145,7 +145,7 @@ def main():
                          | (w8[:K // 2] & 0xF), jnp.int8)
     s3 = jnp.asarray(rs.rand(G, 1, N), jnp.float32)
     z3 = jnp.zeros((G, 1, N), jnp.float32)
-    xg = jnp.asarray(rs.randint(-127, 127, (G, M, g)), jnp.int8)
+    xg = jnp.asarray(rs.randint(-127, 127, (G, M, g)), jnp.bfloat16)
 
     def prep(pk, s, z):
         return qm.qw4_to_grouped_s4(pk, g), s, z
@@ -158,7 +158,7 @@ def main():
         xg, packed, s3, z3)
     report("int4g (prod)", t)
 
-    for kind in ("stream", "dot-only", "epilogue", "full"):
+    for kind in ("dot-only", "noconv", "full"):
         t = bench(loop_of(make_variant(kind, perk, bn), prepare=prep),
                   xg, packed, s3, z3)
         report(kind, t)
@@ -166,25 +166,30 @@ def main():
     # int8 stream ceiling at the same PHYSICAL byte count: [G, g/2, N]
     w8h = jnp.asarray(rs.randint(-127, 127, (G, g // 2, N)), jnp.int8)
 
-    def kernel8(w_ref, o_ref, acc_ref):
+    def kernel8(x_ref, w_ref, o_ref, acc_ref):
         ik = pl.program_id(1)
 
         @pl.when(ik == 0)
         def _():
             acc_ref[:] = jnp.zeros_like(acc_ref)
-        acc_ref[0, :] += jnp.sum(
-            w_ref[:].astype(jnp.float32), axis=(0, 1))[:acc_ref.shape[1]]
+        p = jax.lax.dot_general(
+            x_ref[:], w_ref[:], (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)
+        acc_ref[:] += jnp.sum(p, axis=0).astype(jnp.float32)
 
         @pl.when(ik == G // perk - 1)
         def _():
             o_ref[:] = acc_ref[:]
 
     @jax.jit
-    def run8(w):
+    def run8(x, w):
         return pl.pallas_call(
             kernel8,
             grid=(N // bn, G // perk),
-            in_specs=[pl.BlockSpec((perk, g // 2, bn),
+            in_specs=[pl.BlockSpec((perk, M, g // 2),
+                                   lambda j, k: (k, 0, 0),
+                                   memory_space=pltpu.VMEM),
+                      pl.BlockSpec((perk, g // 2, bn),
                                    lambda j, k: (k, 0, j),
                                    memory_space=pltpu.VMEM)],
             out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j),
@@ -193,9 +198,9 @@ def main():
             scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "arbitrary")),
-        )(w)
+        )(x, w)
 
-    t = bench(loop_of(lambda x, w: run8(w)), xg, w8h)
+    t = bench(loop_of(lambda x, w: run8(x[:, :, :g // 2], w)), xg, w8h)
     report("stream-i8", t)
 
 

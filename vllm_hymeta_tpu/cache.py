@@ -49,7 +49,10 @@ def ring_len(window_keys: int, max_model_len: int) -> int:
     the 7B: 2.50 -> 2.26 ms per 28-head 4k-chunk call on v5e)."""
     if window_keys == 0:
         return _round_up(max_model_len, 128)
-    return _round_up(window_keys, 512)
+    # short-context serving: a ring can never hold more than the model
+    # length, so don't pay window-sized rings (64 sonnet slots at the 7B's
+    # 4k window would be 4 GB of ring for 764-token requests)
+    return _round_up(min(window_keys, max_model_len), 512)
 
 
 def init_layer_kv(cc: CacheConfig, n_kv_heads: int, head_dim: int,
