@@ -508,12 +508,11 @@ def prefill_mixed(cfg: GLAswaConfig, params: dict, cache: dict,
             q, k, v, g = _gla_qkvg(cfg, ap, y)
             # --- decode rows first (their compute uses pre-chunk state;
             # the prefill slot is inactive in d_active, so writes stay
-            # disjoint) ---
-            S_old = lc["state"].astype(jnp.float32)
-            o_d, S_dec = naive.gla_decode_step(q[T:], k[T:], v[T:], g[T:],
-                                               S_old)
-            S_dec = jnp.where(d_active[:, None, None, None], S_dec, S_old)
-            o_d = jnp.where(d_active[:, None, None], o_d, 0.0)
+            # disjoint) --- N3 kernel: traffic ∝ active slots
+            from vllm_hymeta_tpu.ops.gla_decode_pallas import \
+                gla_decode_active
+            o_d, S_dec = gla_decode_active(q[T:], k[T:], v[T:], g[T:],
+                                           lc["state"], d_active)
             # --- prefill rows ---
             kp = jnp.where(valid[:, None, None], k[:T], 0.0)
             vp = jnp.where(valid[:, None, None], v[:T], 0.0)

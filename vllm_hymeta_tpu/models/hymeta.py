@@ -705,11 +705,10 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         lb = _layer_lower_bound(cfg, lbs, i)
         qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb,
                                   qkv=tuple(t[0] for t in gla_qkv))
-        S_old = lc["state"].astype(jnp.float32)
-        o_d, S_dec = naive.gla_decode_step(qg[T:], kg[T:], vg[T:], g[T:],
-                                           S_old)
-        S_dec = jnp.where(d_active[:, None, None, None], S_dec, S_old)
-        o_d = jnp.where(d_active[:, None, None], o_d, 0.0)
+        from vllm_hymeta_tpu.ops.gla_decode_pallas import gla_decode_active
+        # N3 kernel: state traffic ∝ active slots
+        o_d, S_dec = gla_decode_active(qg[T:], kg[T:], vg[T:], g[T:],
+                                       lc["state"], d_active)
         kp2 = jnp.where(valid[:, None, None], kg[:T], 0.0)
         vp2 = jnp.where(valid[:, None, None], vg[:T], 0.0)
         gp2 = jnp.where(valid[:, None, None], g[:T], 0.0)
