@@ -478,3 +478,58 @@ def test_gla_decode_active_matches_ref():
             np.testing.assert_array_equal(
                 np.asarray(S_new)[inact], np.asarray(state)[inact])
             assert float(np.abs(np.asarray(o, np.float32)[inact]).max()) == 0.0
+
+
+def test_rms_norm_pallas_matches_jnp():
+    from vllm_hymeta_tpu.ops import naive, norms
+    key = jax.random.PRNGKey(0)
+    for T, H in [(8, 3584), (4096, 3584), (24, 512)]:
+        x = jax.random.normal(key, (T, H), jnp.bfloat16)
+        w = jax.random.normal(jax.random.PRNGKey(1), (H,),
+                              jnp.bfloat16) * 0.1 + 1.0
+        assert norms.fits(x, w)
+        got = norms.rms_norm(x, w, 1e-6)
+        # jnp twin (the CPU fallback body)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        ref = (xf * jax.lax.rsqrt(var + 1e-6)
+               * w.astype(jnp.float32)).astype(x.dtype)
+        assert _rms(got, ref) < 2e-2, (T, H, _rms(got, ref))
+
+
+def test_rms_norm_residual_pallas_matches_jnp():
+    from vllm_hymeta_tpu.ops import norms
+    key = jax.random.PRNGKey(2)
+    T, H = 256, 3584
+    x = jax.random.normal(key, (T, H), jnp.bfloat16)
+    r = jax.random.normal(jax.random.PRNGKey(3), (T, H), jnp.bfloat16)
+    w = jnp.ones((H,), jnp.bfloat16)
+    out, new_r = norms.rms_norm_residual(x, r, w, 1e-6)
+    rf = x.astype(jnp.float32) + r.astype(jnp.float32)
+    var = jnp.mean(rf * rf, axis=-1, keepdims=True)
+    ref = (rf * jax.lax.rsqrt(var + 1e-6)).astype(x.dtype)
+    assert _rms(out, ref) < 2e-2
+    assert _rms(new_r, rf.astype(x.dtype)) < 1e-3
+
+
+def test_rms_norm_custom_vjp_matches_autodiff():
+    from vllm_hymeta_tpu.ops import norms
+    key = jax.random.PRNGKey(4)
+    T, H = 64, 512
+    x = jax.random.normal(key, (T, H), jnp.float32)
+    w = jax.random.normal(jax.random.PRNGKey(5), (H,),
+                          jnp.float32) * 0.1 + 1.0
+
+    def jnp_loss(x, w):
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(xf * xf, axis=-1, keepdims=True)
+        out = xf * jax.lax.rsqrt(var + 1e-6) * w
+        return jnp.sum(jnp.sin(out))
+
+    def pal_loss(x, w):
+        return jnp.sum(jnp.sin(norms.rms_norm(x, w, 1e-6)))
+
+    gx_ref, gw_ref = jax.grad(jnp_loss, argnums=(0, 1))(x, w)
+    gx, gw = jax.grad(pal_loss, argnums=(0, 1))(x, w)
+    assert _rms(gx, gx_ref) < 2e-2
+    assert _rms(gw, gw_ref) < 2e-2

@@ -307,6 +307,55 @@ def _hybrid_merge(cfg: HymetaConfig, ap: dict, swa_out: jax.Array,
 # full forward (golden path; metatokens inline, exactly like HF)
 # ---------------------------------------------------------------------------
 
+def layer_forward(cfg: HymetaConfig, lp: dict, x: jax.Array,
+                  positions: jax.Array, i: int, lbs) -> jax.Array:
+    """One full-sequence decoder layer over the [meta ∥ tokens] stream
+    (the body of forward_full, exposed for the golden path, calibration
+    (quant/gptq.py) and any layer-sequential driver).  x: [B, M+T, h]."""
+    B = x.shape[0]
+    M = cfg.num_meta_tokens
+    T = x.shape[1] - M
+    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                 cfg.head_dim)
+    res = x
+    y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
+    ap = lp["attn"]
+
+    # SWA branch with metatokens
+    q, k, v = common.project_qkv(ap["swa"], y, H, Hkv, D)
+    cos, sin = naive.rope_cos_sin(positions[None], D, cfg.rope_theta)
+    q = naive.apply_rope(q, cos, sin)
+    k = naive.apply_rope(k, cos, sin)
+    if swa.can_flash_train(M + T, D):
+        # ONE differentiable splash pass over [meta ∥ tokens]: the
+        # windowed-causal OR meta-column mask reproduces the two-pass
+        # LSE merge exactly, with flash fwd+bwd (O(T·W+T·M) memory)
+        swa_out = swa.train_window_attention(
+            q, k, v, cfg.layer_window(i), num_meta=M).astype(y.dtype)
+    else:
+        out, meta_out = naive.metatoken_swa_attention(
+            q[:, M:], k[:, M:], v[:, M:], k[0, :M], v[0, :M],
+            positions[M:], positions[M:], cfg.layer_window(i),
+            cfg.inclusive_window, meta_q=q[0, :M])
+        swa_out = jnp.concatenate(
+            [jnp.broadcast_to(meta_out[None], (B, M, H, D)), out],
+            axis=1)
+
+    # GLA branch (metatokens are just the first M positions)
+    lb = _layer_lower_bound(cfg, lbs, i)
+    qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb)
+    o, _ = gla_chunk.gla_chunked(
+        qg.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
+        vg.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))
+    gla_out = o.transpose(0, 2, 1, 3)
+
+    att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
+                        common.merge_heads(gla_out))
+    y2, res2 = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
+                                       cfg.norm_eps)
+    return res2 + _ffn(cfg, lp, y2, grouped_moe=False)
+
+
 def forward_full(cfg: HymetaConfig, params: dict,
                  tokens: jax.Array, remat: bool = False) -> jax.Array:
     """tokens [B, T] -> logits [B, T, V] fp32.  Prepends the metatokens and
@@ -323,50 +372,9 @@ def forward_full(cfg: HymetaConfig, params: dict,
     x = jnp.concatenate([meta, emb], axis=1)
     positions = jnp.arange(M + T, dtype=jnp.int32)
 
-    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                 cfg.head_dim)
-
-    def layer_body(i: int, lp: dict, x: jax.Array) -> jax.Array:
-        res = x
-        y = naive.rms_norm(x, lp["attn_norm"]["w"], cfg.norm_eps)
-        ap = lp["attn"]
-
-        # SWA branch with metatokens
-        q, k, v = common.project_qkv(ap["swa"], y, H, Hkv, D)
-        cos, sin = naive.rope_cos_sin(positions[None], D, cfg.rope_theta)
-        q = naive.apply_rope(q, cos, sin)
-        k = naive.apply_rope(k, cos, sin)
-        if swa.can_flash_train(M + T, D):
-            # ONE differentiable splash pass over [meta ∥ tokens]: the
-            # windowed-causal OR meta-column mask reproduces the two-pass
-            # LSE merge exactly, with flash fwd+bwd (O(T·W+T·M) memory)
-            swa_out = swa.train_window_attention(
-                q, k, v, cfg.layer_window(i), num_meta=M).astype(y.dtype)
-        else:
-            out, meta_out = naive.metatoken_swa_attention(
-                q[:, M:], k[:, M:], v[:, M:], k[0, :M], v[0, :M],
-                positions[M:], positions[M:], cfg.layer_window(i),
-                cfg.inclusive_window, meta_q=q[0, :M])
-            swa_out = jnp.concatenate(
-                [jnp.broadcast_to(meta_out[None], (B, M, H, D)), out],
-                axis=1)
-
-        # GLA branch (metatokens are just the first M positions)
-        lb = _layer_lower_bound(cfg, lbs, i)
-        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb)
-        o, _ = gla_chunk.gla_chunked(
-            qg.transpose(0, 2, 1, 3), kg.transpose(0, 2, 1, 3),
-            vg.transpose(0, 2, 1, 3), g.transpose(0, 2, 1, 3))
-        gla_out = o.transpose(0, 2, 1, 3)
-
-        att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
-                            common.merge_heads(gla_out))
-        y2, res2 = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
-                                           cfg.norm_eps)
-        return res2 + _ffn(cfg, lp, y2, grouped_moe=False)
-
     for i, lp in enumerate(params["layers"]):
-        fn = functools.partial(layer_body, i)
+        fn = functools.partial(layer_forward, cfg, positions=positions,
+                               i=i, lbs=lbs)
         if remat:
             fn = jax.checkpoint(fn)
         x = fn(lp, x)

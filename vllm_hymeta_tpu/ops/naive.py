@@ -35,7 +35,14 @@ NEG_INF = float("-inf")
 # ---------------------------------------------------------------------------
 
 def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6) -> jax.Array:
-    """RMSNorm computed in fp32, result cast back to x.dtype."""
+    """RMSNorm computed in fp32, result cast back to x.dtype.
+
+    On TPU with lane-aligned shapes this routes to the fused Pallas
+    kernel (ops/norms.py): one bf16 read + one bf16 write instead of
+    XLA's materialized-f32 lowering (custom VJP keeps it differentiable)."""
+    from vllm_hymeta_tpu.ops import norms
+    if norms.fits(x, weight):
+        return norms.rms_norm(x, weight, eps)
     xf = x.astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     out = xf * jax.lax.rsqrt(var + eps)
@@ -51,6 +58,9 @@ def rms_norm_residual(
     `hf_model/modeling_hymeta.py:189` / `hf_7B_model/modeling_gla_swa.py:119`.
     The residual add happens in fp32 in fla's kernel; we mirror that.
     """
+    from vllm_hymeta_tpu.ops import norms
+    if norms.fits(x, weight) and residual.shape == x.shape:
+        return norms.rms_norm_residual(x, residual, weight, eps)
     r = (x.astype(jnp.float32) + residual.astype(jnp.float32))
     out = rms_norm(r, weight, eps).astype(x.dtype)
     return out, r.astype(x.dtype)

@@ -635,7 +635,7 @@ def qw4_to_grouped_s4(qw4: jax.Array, group_size: int) -> jax.Array:
     return w8.astype(jnp.int4).reshape(G, group_size, N)
 
 
-def _int4g_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
+def _int4g_kernel(x_ref, w_ref, s_ref, z_ref, xs_ref, o_ref, acc_ref, *,
                   k_steps: int, int8_act: bool):
     ik = pl.program_id(1)
 
@@ -664,7 +664,12 @@ def _int4g_kernel(x_ref, w_ref, s_ref, z_ref, o_ref, acc_ref, *,
 
     @pl.when(ik == k_steps - 1)
     def _():
-        o_ref[:] = acc_ref[:].astype(o_ref.dtype)
+        # per-row activation dequant scale applied in the epilogue and the
+        # result emitted in bf16: keeps the f32 [M, N] accumulator (and
+        # the post-kernel scale multiply) out of HBM — the round-4 trace
+        # showed the f32 output slices as ~0.4 ms/token of copy-dones
+        o_ref[:] = (acc_ref[:] * xs_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
 
 
 @functools.lru_cache(maxsize=256)
@@ -692,8 +697,10 @@ def _pick_perk_bn(G: int, N: int, g: int):
 
 @functools.partial(jax.jit,
                    static_argnames=("perk", "bn", "int8_act", "out_dtype"))
-def _int4g_matvec_pallas(xg, w4g, s3, z3, perk, bn, int8_act, out_dtype):
-    """xg [G, M, g] (int8 or bf16); w4g s4 [G, g, N]; s3/z3 [G, 1, N]."""
+def _int4g_matvec_pallas(xg, w4g, s3, z3, xscale, perk, bn, int8_act,
+                         out_dtype):
+    """xg [G, M, g] (int8 or bf16); w4g s4 [G, g, N]; s3/z3 [G, 1, N];
+    xscale [M, 1] f32 per-row activation scale (ones for bf16 acts)."""
     G, M, g = xg.shape
     N = w4g.shape[2]
     k_steps = G // perk
@@ -710,6 +717,8 @@ def _int4g_matvec_pallas(xg, w4g, s3, z3, perk, bn, int8_act, out_dtype):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((perk, 1, bn), lambda j, k: (k, 0, j),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j),
                                memory_space=pltpu.VMEM),
@@ -719,9 +728,9 @@ def _int4g_matvec_pallas(xg, w4g, s3, z3, perk, bn, int8_act, out_dtype):
             dimension_semantics=("parallel", "arbitrary")),
         cost_estimate=pl.CostEstimate(
             flops=2 * M * N * G * g,
-            bytes_accessed=G * g * N // 2 + G * N * 4 + M * N * 4,
+            bytes_accessed=G * g * N // 2 + G * N * 4 + M * N * 2,
             transcendentals=0),
-    )(xg, w4g, s3, z3)
+    )(xg, w4g, s3, z3, xscale)
     return out
 
 
@@ -749,14 +758,15 @@ def int4g_matvec(x, w4g, s3, z3, int8_act: Optional[bool] = None):
         qx = jnp.clip(jnp.round(xf / xscale), -127, 127).astype(jnp.int8)
         qx = jnp.pad(qx, ((0, M - Mrows), (0, 0)))
         xg = qx.reshape(M, G, g).swapaxes(0, 1)
+        xs = jnp.pad(xscale, ((0, M - Mrows), (0, 0)),
+                     constant_values=1.0)
     else:
         xb = jnp.pad(x2.astype(jnp.bfloat16), ((0, M - Mrows), (0, 0)))
         xg = xb.reshape(M, G, g).swapaxes(0, 1)
-    y = _int4g_matvec_pallas(xg, w4g, s3, z3, perk, bn, int8_act,
-                             jnp.float32)[:Mrows]
-    if int8_act:
-        y = y * xscale
-    return y.astype(jnp.bfloat16).reshape(*shape[:-1], N)
+        xs = jnp.ones((M, 1), jnp.float32)
+    y = _int4g_matvec_pallas(xg, w4g, s3, z3, xs, perk, bn, int8_act,
+                             jnp.bfloat16)[:Mrows]
+    return y.reshape(*shape[:-1], N)
 
 
 def _round_up_int(x: int, m: int) -> int:
