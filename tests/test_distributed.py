@@ -377,3 +377,93 @@ class TestSplitPrefill:
         np.testing.assert_allclose(np.asarray(logits),
                                    np.asarray(full[13 + T2 - 1]),
                                    atol=3e-3, rtol=1e-2)
+
+
+class TestMeshMixed:
+    """Mesh mixed batching (VERDICT r4 item 3): prefill chunk(s) per data
+    rank + the sharded decode batch in ONE shard_map dispatch must match
+    the single-device alternating scheduler token-for-token (greedy)."""
+
+    def _run(self, cfg, model, params, mesh, mixed: bool):
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        ecfg = EngineConfig(max_num_seqs=4, max_model_len=128,
+                            prefill_chunk=16, prefill_buckets=(16,),
+                            decode_block=2, mixed_prefill_decode=mixed)
+        eng = Engine(cfg, params, ecfg, mesh=mesh)
+        used_mixed = []
+        if mesh is not None and mixed:
+            orig = eng._prefill_mixed_group_fn
+
+            def spy(bucket):
+                used_mixed.append(bucket)
+                return orig(bucket)
+            eng._prefill_mixed_group_fn = spy
+        sp = SamplingParams(temperature=0.0, max_tokens=8, ignore_eos=True)
+        rs = np.random.RandomState(7)
+        p0 = list(rs.randint(0, cfg.vocab_size, size=12))
+        later = [list(rs.randint(0, cfg.vocab_size, size=n))
+                 for n in (14, 30)]
+        r0 = eng.add_request(p0, sp)
+        while not any(eng.active):
+            eng.step()
+        rids = [eng.add_request(p, sp) for p in later]
+        done = {}
+        while eng.has_work():
+            for r in eng.step():
+                done[r.req_id] = r
+        if mesh is not None and mixed:
+            assert used_mixed, "mesh mixed step was not used"
+        return [done[i].output for i in [r0] + rids]
+
+    @pytest.mark.parametrize("family", ["glaswa", "hymeta"])
+    def test_mesh_mixed_matches_mesh_alternating(self, family, mesh8):
+        """Same mesh numeric path, mixed scheduler vs alternating — must
+        be token-identical (isolates the scheduler change; mesh-vs-single
+        numeric parity is covered by TestDistributedEngine)."""
+        if family == "glaswa":
+            cfg = tiny_glaswa()
+            model = gla_swa
+        else:
+            cfg = tiny_hymeta()
+            model = hymeta
+        params = model.init_params(cfg, jax.random.PRNGKey(21),
+                                   dtype=jnp.float32)
+        a = self._run(cfg, model, params, mesh8, mixed=False)
+        b = self._run(cfg, model, params, mesh8, mixed=True)
+        assert a == b
+
+
+class TestMeshPrefixCache:
+    """The cross-request prefix cache must work under a mesh: second
+    request sharing a prefix skips the cached chunks and still matches."""
+
+    def test_prefix_cache_mesh_matches(self, mesh8):
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(22),
+                                     dtype=jnp.float32)
+        rs = np.random.RandomState(9)
+        prefix = list(rs.randint(0, cfg.vocab_size, size=32))
+        tail_a = list(rs.randint(0, cfg.vocab_size, size=7))
+        tail_b = list(rs.randint(0, cfg.vocab_size, size=5))
+        sp = SamplingParams(temperature=0.0, max_tokens=6, ignore_eos=True)
+
+        def run(cache_size):
+            ecfg = EngineConfig(max_num_seqs=4, max_model_len=128,
+                                prefill_chunk=16, prefill_buckets=(16,),
+                                decode_block=2,
+                                prefix_cache_size=cache_size)
+            eng = Engine(cfg, params, ecfg, mesh=mesh8)
+            [ra] = eng.generate([prefix + tail_a], sp)
+            # second request: prefix chunks should come from the cache
+            hit_before = len(eng._prefix_cache)
+            [rb] = eng.generate([prefix + tail_b], sp)
+            return ra.output, rb.output, hit_before
+
+        oa1, ob1, _ = run(0)
+        oa2, ob2, ncache = run(4)
+        assert ncache > 0, "no prefix snapshots were taken"
+        assert oa1 == oa2
+        assert ob1 == ob2

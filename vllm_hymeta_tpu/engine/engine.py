@@ -58,7 +58,6 @@ class EngineConfig:
     # reference's prefix-cache hit path, `meta_attention.py:900-919`,
     # exact here because ring+GLA state at position p captures the whole
     # history).  Value = max snapshots kept (LRU); 0 disables.
-    # Single-device path.
     prefix_cache_size: int = 0
     # top-N alternatives captured per emitted token when a request asks
     # for logprobs (static: compiled into the step programs); 0 disables
@@ -72,8 +71,8 @@ class EngineConfig:
     # fold ONE decode step for every active slot into each prefill-chunk
     # program (models.*.prefill_mixed): decode rows ride the chunk's
     # weight streams, so generations emit a token per chunk instead of
-    # stalling behind it.  Single-device path; the mesh engine keeps
-    # alternation.
+    # stalling behind it.  On a mesh the step runs one chunk per data
+    # rank (dp-grouped) plus the sharded decode batch.
     mixed_prefill_decode: bool = True
     # throughput mode: while decodes are active and MORE requests are
     # waiting, defer prefill until this many slots have freed, so the
@@ -149,6 +148,13 @@ class Engine:
                 cfg, mesh, self.params, self.cache, self.meta)
             self._local_decode = pstep.make_local_decode(
                 cfg, mesh, self.params, self.cache, self.meta)
+            # mesh mixed batching: one chunk per data rank + the decode
+            # batch in one program (VERDICT r4 item 3)
+            self._local_prefill_mixed_group = None
+            if hasattr(self.model, "prefill_mixed"):
+                self._local_prefill_mixed_group = \
+                    pstep.make_local_prefill_mixed_group(
+                        cfg, mesh, self.params, self.cache, self.meta)
             # split-T prefill: one request's chunk token-sharded over the
             # data ranks (used when a single pending request would
             # otherwise run owner-masked replicated compute)
@@ -169,6 +175,7 @@ class Engine:
             self._local_decode = None
             self._local_prefill_split = None
             self._local_prefill_split_mid = None
+            self._local_prefill_mixed_group = None
 
         S = self.ecfg.max_num_seqs
         if mesh is not None and int(mesh.shape["data"]) > 1:
@@ -459,6 +466,132 @@ class Engine:
         jfn = jax.jit(fn, donate_argnums=(2, 3))
         self._compiled_prefill[key_] = jfn
         return jfn
+
+    def _prefill_mixed_group_fn(self, bucket: int):
+        """Mesh path: one chunk per data rank + the decode batch in ONE
+        shard_map program, with sampling for all rows."""
+        key_ = ("mixedG", bucket)
+        if key_ in self._compiled_prefill:
+            return self._compiled_prefill[key_]
+
+        def fn(params, meta, cache, samp, tokens, slots, pos0, n_valid,
+               d_tokens, d_positions, d_active, key):
+            p_logits, d_logits, cache = self._local_prefill_mixed_group(
+                params, meta, cache, tokens, slots, pos0, n_valid,
+                d_tokens, d_positions, d_active)
+            kp, kd = jax.random.split(key)
+            raw_d = d_logits.astype(jnp.float32)
+            lg_d = sampler_lib.apply_repetition_penalty(
+                raw_d, samp["seen"], samp["rep_penalty"])
+            d_ids = sampler_lib.sample(
+                lg_d, kd, samp["temperature"], samp["top_k"],
+                samp["top_p"])
+            d_ids = jnp.where(d_active, d_ids, d_tokens)
+            lp_d = ()
+            if self.ecfg.logprobs_topk > 0:
+                lp_d = sampler_lib.token_logprobs(
+                    raw_d, d_ids, self.ecfg.logprobs_topk)
+            samp = dict(samp)
+            rows = jnp.arange(d_ids.shape[0])
+            seen_rows = samp["seen"][rows, d_ids]
+            samp["seen"] = samp["seen"].at[rows, d_ids].set(
+                jnp.where(d_active, True, seen_rows))
+            raw_p = p_logits.astype(jnp.float32)              # [dp, V]
+            lg_p = sampler_lib.apply_repetition_penalty(
+                raw_p, samp["seen"][slots], samp["rep_penalty"][slots])
+            p_toks = sampler_lib.sample(
+                lg_p, kp, samp["temperature"][slots],
+                samp["top_k"][slots], samp["top_p"][slots])
+            lp_p = ()
+            if self.ecfg.logprobs_topk > 0:
+                lp_p = sampler_lib.token_logprobs(
+                    raw_p, p_toks, self.ecfg.logprobs_topk)
+            return p_toks, lp_p, d_ids, lp_d, cache, samp
+
+        jfn = jax.jit(fn, donate_argnums=(2, 3))
+        self._compiled_prefill[key_] = jfn
+        return jfn
+
+    def _step_mixed_mesh(self, pending: List[Request],
+                         finished: List[Request]):
+        """Mesh mixed step: one pending request per data rank (dummy
+        no-op rows for idle ranks) + one decode token for every active
+        slot, in one dispatch."""
+        dp = int(self.mesh.shape["data"])
+        n_local = self.ecfg.max_num_seqs // dp
+        cap = self._chunk_cap()
+        by_rank: Dict[int, Request] = {}
+        for r in pending:
+            by_rank.setdefault(r.slot // n_local, r)
+        bucket = max(self._bucket_for(
+            min(len(r.prompt) - r.prefill_done, cap))
+            for r in by_rank.values())
+        tokens = np.zeros((dp, bucket), np.int32)
+        slots = np.zeros((dp,), np.int32)
+        pos0 = np.zeros((dp,), np.int32)
+        nval = np.zeros((dp,), np.int32)
+        group = []
+        for rk in range(dp):
+            r = by_rank.get(rk)
+            if r is None:
+                # dummy row: slot -1 maps to owned=False on every rank, so
+                # neither the ring write nor the GLA identity-state write
+                # commits (a real slot id here would overwrite that slot's
+                # decode-updated state with its pre-decode state)
+                slots[rk] = -1
+                continue
+            n = min(len(r.prompt) - r.prefill_done, bucket)
+            tokens[rk, :n] = r.prompt[r.prefill_done:r.prefill_done + n]
+            slots[rk] = r.slot
+            pos0[rk] = r.prefill_done
+            nval[rk] = n
+            group.append((rk, r))
+        S = self.ecfg.max_num_seqs
+        d_tokens = np.zeros((S,), np.int32)
+        was_active = self.active.copy()
+        for slot, req in self.slot_req.items():
+            if was_active[slot]:
+                d_tokens[slot] = req.output[-1]
+        fn = self._prefill_mixed_group_fn(bucket)
+        self.rng, k_ = jax.random.split(self.rng)
+        (p_toks, lp_p, d_ids, lp_d, self.cache, self.samp_state) = fn(
+            self.params, self.meta, self.cache, self.samp_state,
+            jnp.asarray(tokens), jnp.asarray(slots), jnp.asarray(pos0),
+            jnp.asarray(nval), jnp.asarray(d_tokens),
+            jnp.asarray(self.positions.astype(np.int32)),
+            jnp.asarray(was_active), k_)
+        # harvest decode tokens
+        ids = np.asarray(d_ids)
+        lps = tuple(np.asarray(a) for a in lp_d) if lp_d else None
+        in_group = {r.slot for _, r in group}
+        for slot in list(self.slot_req):
+            req = self.slot_req[slot]
+            if not was_active[slot] or slot in in_group:
+                continue
+            self.positions[slot] += 1
+            lp = None
+            if lps is not None and req.params.logprobs > 0:
+                lp = (float(lps[0][slot]), lps[1][slot], lps[2][slot])
+            self._emit(req, int(ids[slot]), finished, lp)
+        # advance the prefills; emit first tokens for completed prompts
+        ptoks = None
+        plps = None
+        for rk, r in group:
+            r.prefill_done += int(nval[rk])
+            self.positions[r.slot] = r.prefill_done
+            self._maybe_snapshot_prefix(r)
+            if r.prefill_done >= len(r.prompt):
+                if ptoks is None:
+                    ptoks = np.asarray(p_toks)
+                    plps = tuple(np.asarray(a) for a in lp_p) \
+                        if lp_p else None
+                lp = None
+                if plps is not None and r.params.logprobs > 0:
+                    lp = (float(plps[0][rk]), plps[1][rk], plps[2][rk])
+                self._emit(r, int(ptoks[rk]), finished, lp)
+                if not r.finished:
+                    self.active[r.slot] = True
+        return finished
 
     def _step_mixed_batched(self, group: List[Request], bucket: int,
                             finished: List[Request]):
@@ -772,7 +905,7 @@ class Engine:
     def _maybe_snapshot_prefix(self, req: Request):
         """After a completed prefill chunk: snapshot the slot's per-layer
         state keyed by the prompt prefix processed so far."""
-        if (self.ecfg.prefix_cache_size <= 0 or self.mesh is not None
+        if (self.ecfg.prefix_cache_size <= 0
                 or req.prefill_done >= len(req.prompt)):
             return
         key = tuple(req.prompt[:req.prefill_done])
@@ -897,14 +1030,19 @@ class Engine:
 
         # mixed batching: prefill chunk + one decode token per active
         # slot in ONE dispatch — no alternation, no decode stall
+        # (single-device AND mesh: the mesh runs one chunk per data rank)
         if (pre is not None and self.ecfg.mixed_prefill_decode
-                and self.mesh is None and any(self.active)):
+                and any(self.active)
+                and (self.mesh is None
+                     or self._local_prefill_mixed_group is not None)):
             wait_n = self.ecfg.prefill_batch_wait
             if (wait_n > 1 and self.waiting
                     and len(pending) < wait_n):
                 # throughput mode: let the decode block run while freed
                 # slots accumulate into a full prefill batch
                 pre = None
+            elif self.mesh is not None:
+                return self._step_mixed_mesh(pending, finished)
             else:
                 return self._step_mixed(pre, finished)
 

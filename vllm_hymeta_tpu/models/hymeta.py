@@ -637,27 +637,31 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
                   d_positions: jax.Array,  # [S]
                   d_active: jax.Array,     # [S] bool (False for `slot`)
                   need_logits: bool = True,
+                  pctx=NULL_CTX,
                   ) -> Tuple[jax.Array, jax.Array, dict]:
     """ONE program = one prefill chunk + one decode step — the TPU form of
     the reference's mixed `[meta | prefills | decodes]` batches
     (`attention/meta_attention.py:612-639`).  Decode rows share every
     projection/branch/MLP matmul with the chunk rows; see
-    gla_swa.prefill_mixed for the design notes.
+    gla_swa.prefill_mixed for the design notes (incl. the mesh/pctx
+    contract: sharded slot batch, owner-masked or dp-grouped chunk).
 
     Returns (prefill_logits [V], decode_logits [S, V], cache)."""
     T = tokens.shape[0]
     S = d_tokens.shape[0]
     M = cfg.num_meta_tokens
     lbs = lower_bound_table(cfg, params)
+    n_local_slots = cache["layers"][0]["state"].shape[0]
+    lslot, owned = pctx.local_slot(slot, n_local_slots)
     positions = pos0 + jnp.arange(T, dtype=jnp.int32)
     valid = jnp.arange(T) < n_valid
     all_tokens = jnp.concatenate([tokens, d_tokens])
     all_positions = jnp.concatenate([positions, d_positions])
     rope_pos = all_positions + M  # offset (`modeling_hymeta.py:1313-1323`)
-    x = common.embed_vp(params["embed"], all_tokens, NULL_CTX)
+    x = common.embed_vp(params["embed"], all_tokens, pctx)
 
-    H, Hkv, D = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                 cfg.head_dim)
+    H, Hkv = common.local_heads(cfg, pctx)
+    D = cfg.head_dim
     new_layers = []
     for i, lp in enumerate(params["layers"]):
         res = x
@@ -666,7 +670,7 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         lc = cache["layers"][i]
         window = cfg.layer_window(i)
 
-        swa_qkv, gla_qkv = _project_both(cfg, ap, y[None])
+        swa_qkv, gla_qkv = _project_both(cfg, ap, y[None], pctx)
         q, k, v = swa_qkv
         cos, sin = naive.rope_cos_sin(rope_pos[None], D, cfg.rope_theta)
         q = naive.apply_rope(q, cos, sin)[0]
@@ -674,7 +678,7 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         v = v[0]
 
         # ---- SWA prefill rows: windowed + metatoken passes, LSE merge
-        ctx_k, ctx_v, ctx_pos = common.gather_ring_context(lc, slot, pos0)
+        ctx_k, ctx_v, ctx_pos = common.gather_ring_context(lc, lslot, pos0)
         R = ctx_k.shape[0]
         k_all = jnp.concatenate([ctx_k, k[:T]], axis=0)
         v_all = jnp.concatenate([ctx_v, v[:T]], axis=0)
@@ -690,8 +694,8 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
             jnp.swapaxes(out1, 0, 1).astype(jnp.float32), lse1,
             jnp.swapaxes(out2, 0, 1).astype(jnp.float32), lse2)
         swa_p = jnp.swapaxes(mo, 0, 1).astype(y.dtype)     # [T, H, D]
-        lc = cache_lib.write_prefill_kv(lc, slot, k[:T], v[:T], positions,
-                                        valid)
+        lc = cache_lib.write_prefill_kv(lc, lslot, k[:T], v[:T], positions,
+                                        valid, enable=owned)
         # ---- SWA decode rows (updated ring: token attends itself)
         lc = cache_lib.write_decode_kv(lc, k[T:], v[T:], d_positions,
                                        d_active)
@@ -710,8 +714,8 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         swa_out = jnp.concatenate([swa_p, swa_d.astype(y.dtype)], axis=0)
 
         # ---- GLA branch
-        lb = _layer_lower_bound(cfg, lbs, i)
-        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb,
+        lb = _layer_lower_bound(cfg, lbs, i, pctx)
+        qg, kg, vg, g = _gla_qkvg(cfg, ap["gla"], y, lb, pctx,
                                   qkv=tuple(t[0] for t in gla_qkv))
         from vllm_hymeta_tpu.ops.gla_decode_pallas import gla_decode_active
         # N3 kernel: state traffic ∝ active slots
@@ -720,7 +724,7 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
         kp2 = jnp.where(valid[:, None, None], kg[:T], 0.0)
         vp2 = jnp.where(valid[:, None, None], vg[:T], 0.0)
         gp2 = jnp.where(valid[:, None, None], g[:T], 0.0)
-        S0 = lc["state"][slot][None].astype(jnp.float32)
+        S0 = lc["state"][lslot][None].astype(jnp.float32)
         o_p, S_p = gla_chunk.gla_chunked(
             qg[:T].transpose(1, 0, 2)[None], kp2.transpose(1, 0, 2)[None],
             vp2.transpose(1, 0, 2)[None], gp2.transpose(1, 0, 2)[None],
@@ -729,14 +733,16 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
             [o_p[0].transpose(1, 0, 2).astype(jnp.float32),
              o_d.astype(jnp.float32)], axis=0).astype(y.dtype)
         lc = dict(lc)
-        lc["state"] = S_dec.at[slot].set(S_p[0]).astype(lc["state"].dtype)
+        lc["state"] = S_dec.at[lslot].set(
+            jnp.where(owned, S_p[0].astype(S_dec.dtype), S_dec[lslot])
+        ).astype(lc["state"].dtype)
         new_layers.append(lc)
 
         att = _hybrid_merge(cfg, ap, common.merge_heads(swa_out),
-                            common.merge_heads(gla_out))
+                            common.merge_heads(gla_out), pctx)
         y2, res = naive.rms_norm_residual(att, res, lp["mlp_norm"]["w"],
                                           cfg.norm_eps)
-        x = res + _ffn(cfg, lp, y2)
+        x = res + _ffn(cfg, lp, y2, pctx=pctx)
 
     xd = x[T:]
     if need_logits:
@@ -744,9 +750,12 @@ def prefill_mixed(cfg: HymetaConfig, params: dict, meta: dict, cache: dict,
     else:
         xh = xd
     xh = naive.rms_norm(xh, params["final_norm"]["w"], cfg.norm_eps)
-    logits = common.lm_head_gather(params["lm_head"], xh, NULL_CTX)
+    logits = common.lm_head_gather(params["lm_head"], xh, pctx)
     if need_logits:
-        return logits[0], logits[1:], {"layers": new_layers}
+        p_logits = logits[0]
+        if pctx.data_axis is not None:
+            p_logits = pctx.psum_data(jnp.where(owned, p_logits, 0.0))
+        return p_logits, logits[1:], {"layers": new_layers}
     return jnp.zeros((cfg.vocab_size,), jnp.float32), logits, \
         {"layers": new_layers}
 

@@ -128,6 +128,46 @@ def make_local_prefill_split(cfg, mesh: Mesh, params: dict, cache: dict,
         out_specs=(REPL, cspecs))
 
 
+def make_local_prefill_mixed_group(cfg, mesh: Mesh, params: dict,
+                                   cache: dict, meta: Optional[dict]):
+    """Mesh mixed batching (VERDICT r4 item 3): ONE chunk per data rank
+    (dp-grouped, dummy rows n_valid=0 no-op) PLUS one decode step for
+    every active slot, in a single shard_map program — the mesh form of
+    the single-device batched-mixed step, matching vLLM's batched model
+    runner under TP (`attention/meta_attention.py:612-639`).
+
+    mixed_group(params, meta, cache, tokens [dp, T], slots [dp],
+    pos0 [dp], n_valid [dp], d_tokens [S], d_positions [S],
+    d_active [S]) -> (p_logits [dp, V], d_logits [S, V], cache)."""
+    model = get_model(cfg)
+    is_hymeta = isinstance(cfg, HymetaConfig)
+    pctx = ParallelCtx(model_axis="model", data_axis="data",
+                       dp_grouped=True)
+    pspecs = sharding.param_specs(cfg, params)
+    cspecs = sharding.cache_specs(cache)
+    mspecs = sharding.meta_specs(meta) if meta is not None else None
+
+    def local(params, meta, cache, tokens, slots, pos0, n_valid,
+              d_tokens, d_positions, d_active):
+        # local shards: tokens [1, T]; slots/pos0/n_valid [1];
+        # d_* [S/dp] (this rank's slot rows)
+        if is_hymeta:
+            p_logits, d_logits, cache = model.prefill_mixed(
+                cfg, params, meta, cache, tokens[0], slots[0], pos0[0],
+                n_valid[0], d_tokens, d_positions, d_active, pctx=pctx)
+        else:
+            p_logits, d_logits, cache = model.prefill_mixed(
+                cfg, params, cache, tokens[0], slots[0], pos0[0],
+                n_valid[0], d_tokens, d_positions, d_active, pctx=pctx)
+        return p_logits[None], d_logits, cache
+
+    return _shard_map(
+        local, mesh,
+        in_specs=(pspecs, mspecs, cspecs, P("data"), P("data"), P("data"),
+                  P("data"), P("data"), P("data"), P("data")),
+        out_specs=(P("data", None), P("data", None), cspecs))
+
+
 def make_local_decode(cfg, mesh: Mesh, params: dict, cache: dict,
                       meta: Optional[dict]):
     """shard_map-wrapped (un-jitted) decode(params, meta, cache, tokens,
