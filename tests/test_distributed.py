@@ -467,3 +467,99 @@ class TestMeshPrefixCache:
         assert ncache > 0, "no prefix snapshots were taken"
         assert oa1 == oa2
         assert ob1 == ob2
+
+
+class TestMoEEPA2A:
+    """EP via ragged_all_to_all dispatch (ops/moe_gemm.moe_apply_ep_a2a)
+    must match both the dense single-device reference (moe_block) and the
+    replicated-psum EP path (moe_apply + psum) bit-for-meaningful-bits."""
+
+    def _setup(self, E=8, h=64, inner=96, N=32, k=2, seed=0):
+        keys = jax.random.split(jax.random.PRNGKey(seed), 5)
+        p = {
+            "gate": {"w": jax.random.normal(keys[0], (h, E),
+                                            jnp.float32) * 0.1},
+            "experts": {
+                "gate_proj": jax.random.normal(keys[1], (E, h, inner),
+                                               jnp.float32) * 0.05,
+                "up_proj": jax.random.normal(keys[2], (E, h, inner),
+                                             jnp.float32) * 0.05,
+                "down_proj": jax.random.normal(keys[3], (E, inner, h),
+                                               jnp.float32) * 0.05,
+            },
+        }
+        x = jax.random.normal(keys[4], (N, h), jnp.float32)
+        return p, x
+
+    @pytest.mark.parametrize("k", [1, 2])
+    def test_a2a_matches_dense_and_psum(self, k):
+        from vllm_hymeta_tpu.models.layers import moe_block
+        from vllm_hymeta_tpu.ops import moe_gemm
+        from jax.sharding import PartitionSpec as P
+        E, N, ep = 8, 32, 4
+        p, x = self._setup(E=E, N=N, k=k)
+        ref = moe_block(p, x, k, True)
+
+        mesh = jax.sharding.Mesh(
+            np.array(jax.devices()[:ep]).reshape(ep), ("model",))
+        espec = {"gate": {"w": P()},
+                 "experts": {"gate_proj": P("model"),
+                             "up_proj": P("model"),
+                             "down_proj": P("model")}}
+
+        def local_a2a(p_l, x_l):
+            return moe_gemm.moe_apply_ep_a2a(
+                p_l, x_l, top_k=k, renormalize=True,
+                axis_name="model", num_global_experts=E)
+
+        got_a2a = jax.jit(jax.shard_map(
+            local_a2a, mesh=mesh, in_specs=(espec, P("model")),
+            out_specs=P("model"), check_vma=False))(p, x)
+
+        def local_psum(p_l, x_l):
+            e_local = p_l["experts"]["gate_proj"].shape[0]
+            y = moe_gemm.moe_apply(
+                p_l, x_l, top_k=k, renormalize=True,
+                expert_offset=jax.lax.axis_index("model") * e_local,
+                num_global_experts=E)
+            return jax.lax.psum(y, "model")
+
+        got_psum = jax.jit(jax.shard_map(
+            local_psum, mesh=mesh, in_specs=(espec, P()),
+            out_specs=P(), check_vma=False))(p, x)
+
+        np.testing.assert_allclose(np.asarray(got_a2a), np.asarray(ref),
+                                   atol=2e-5, rtol=1e-4)
+        np.testing.assert_allclose(np.asarray(got_a2a),
+                                   np.asarray(got_psum),
+                                   atol=2e-5, rtol=1e-4)
+
+    def test_ffn_ep_a2a_matches_default(self, mesh8):
+        """_ffn with ParallelCtx(ep_a2a=True) must match the psum path on
+        a real MoE layer's params."""
+        from vllm_hymeta_tpu.parallel.pctx import ParallelCtx
+        from vllm_hymeta_tpu.parallel import sharding as shd
+        from jax.sharding import PartitionSpec as P
+        cfg = tiny_hymeta()
+        params = hymeta.init_params(cfg, jax.random.PRNGKey(3),
+                                    dtype=jnp.float32)
+        moe_layers = [lp for lp in params["layers"] if "moe" in lp]
+        lp = moe_layers[0]
+        x = jax.random.normal(jax.random.PRNGKey(4), (16, cfg.hidden_size),
+                              jnp.float32)
+        lspec = shd.param_specs(cfg, {"layers": [lp]})["layers"][0]
+
+        def run(ep_a2a):
+            pctx = ParallelCtx(model_axis="model", ep_a2a=ep_a2a)
+
+            def local(lp_l, x_l):
+                return hymeta._ffn(cfg, lp_l, x_l, pctx=pctx)
+
+            return jax.jit(jax.shard_map(
+                local, mesh=mesh8, in_specs=(lspec, P()),
+                out_specs=P(), check_vma=False))(lp, x)
+
+        a = run(False)
+        b = run(True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=2e-5, rtol=1e-4)

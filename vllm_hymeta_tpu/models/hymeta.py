@@ -207,6 +207,26 @@ def _ffn(cfg: HymetaConfig, lp: dict, x: jax.Array,
         return pctx.psum(glu_mlp(lp["mlp"], x))
     shape = x.shape
     flat = x.reshape(-1, shape[-1])
+    if (pctx.model_axis is not None and pctx.ep_a2a
+            and flat.shape[0] % pctx.tp == 0):
+        # real EP dispatch: route this rank's token shard with
+        # ragged_all_to_all (only off-rank-routed rows move), combine with
+        # the reverse a2a, then all-gather token shards back to the
+        # replicated layout.  The MoE part arrives COMPLETE (not a partial
+        # sum), so only the shared MLP still needs the TP psum.
+        from vllm_hymeta_tpu.ops import moe_gemm
+        n_local = flat.shape[0] // pctx.tp
+        x_local = jax.lax.dynamic_slice_in_dim(
+            flat, pctx.rank() * n_local, n_local, axis=0)
+        y_local = moe_gemm.moe_apply_ep_a2a(
+            lp["moe"], x_local, top_k=cfg.num_experts_per_topk,
+            renormalize=cfg.moe_renormalize,
+            axis_name=pctx.model_axis,
+            num_global_experts=cfg.num_local_experts)
+        y = pctx.all_gather(y_local, axis=0).reshape(shape)
+        if "shared_mlp" in lp:
+            y = y + pctx.psum(glu_mlp(lp["shared_mlp"], x))
+        return y
     if pctx.model_axis is not None:
         from vllm_hymeta_tpu.ops import moe_gemm
         e_local = lp["moe"]["experts"]["gate_proj"].shape[0]

@@ -28,6 +28,11 @@ class ParallelCtx:
     # owner-broadcast of prefill logits (psum_data) must be an identity —
     # each rank keeps its request's logits (gathered by the out_specs).
     dp_grouped: bool = False
+    # MoE expert parallelism via ragged_all_to_all token dispatch instead
+    # of the replicated-psum combine (ops/moe_gemm.moe_apply_ep_a2a; see
+    # its comm-volume note).  The right wire pattern for token-sharded /
+    # multi-host EP; off by default for single-host TP-replicated serving.
+    ep_a2a: bool = False
 
     # ----- model (TP) axis -----
     @property
