@@ -228,20 +228,25 @@ def load_gptq_checkpoint(cfg, path: str, dtype=jnp.bfloat16,
                 zero_offset = not qc.get("sym", not zero_offset)
                 break
 
-    # collect packed groups by module prefix
+    # ONE pass over the shards: packed groups collected by module prefix,
+    # dense tensors routed straight into the tree (the r4 version
+    # iterated the same files a second time through load_checkpoint —
+    # 2x the load I/O at 70B scale; `modeling_hymeta.py:1487-1691`
+    # streams once)
     packed: Dict[str, dict] = {}
-    dense = {}
+    dense = []
     for name, arr in weights_lib._iter_checkpoint_tensors(path):
         name = weights_lib._fix_name(name)
         m = re.match(r"(.*)\.(qweight|qzeros|scales|g_idx)$", name)
         if m:
             packed.setdefault(m.group(1), {})[m.group(2)] = arr
         else:
-            dense[name] = arr
+            dense.append((name, arr))
 
-    params = weights_lib.load_checkpoint(cfg, path, dtype=dtype) \
-        if dense else None
-    if params is None:
+    if dense:
+        params = weights_lib.load_checkpoint_tensors(cfg, dense,
+                                                     dtype=dtype)
+    else:
         from vllm_hymeta_tpu.models import get_model
         params = get_model(cfg).init_params(cfg, jax.random.PRNGKey(0),
                                             dtype=dtype)
