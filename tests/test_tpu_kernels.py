@@ -533,3 +533,85 @@ def test_rms_norm_custom_vjp_matches_autodiff():
     gx, gw = jax.grad(pal_loss, argnums=(0, 1))(x, w)
     assert _rms(gx, gx_ref) < 2e-2
     assert _rms(gw, gw_ref) < 2e-2
+
+
+def test_ring_write_matches_scatter():
+    """ops/ring_attention.ring_write vs the jnp mod-scatter, including
+    wrap-around, unaligned pos0, n_valid tails, and slot indexing."""
+    from vllm_hymeta_tpu.ops import ring_attention as ra
+    key = jax.random.PRNGKey(0)
+    S, Hkv, R, D, T = 3, 4, 2048, 128, 1024
+    for slot, pos0, n_valid in [(0, 0, 1024), (1, 1024, 1024),
+                                (2, 1536, 1024), (0, 4096 + 512, 1024),
+                                (1, 777, 1000), (2, 2048, 512)]:
+        cache_k = jax.random.normal(key, (S, Hkv, R, D), jnp.bfloat16)
+        cache_v = jax.random.normal(jax.random.PRNGKey(1), (S, Hkv, R, D),
+                                    jnp.bfloat16)
+        k = jax.random.normal(jax.random.PRNGKey(2), (T, Hkv, D),
+                              jnp.bfloat16)
+        v = jax.random.normal(jax.random.PRNGKey(3), (T, Hkv, D),
+                              jnp.bfloat16)
+        assert ra.ring_write_supported(cache_k, k)
+        gk, gv = ra.ring_write(cache_k, cache_v, k, v, slot, pos0, n_valid)
+        positions = pos0 + np.arange(T)
+        idx = positions % R
+        ek = np.array(cache_k, np.float32)
+        ev = np.array(cache_v, np.float32)
+        for j in range(n_valid):
+            ek[slot, :, idx[j]] = np.asarray(k[j])
+            ev[slot, :, idx[j]] = np.asarray(v[j])
+        np.testing.assert_array_equal(
+            np.asarray(gk, np.float32), ek.astype(np.float32),
+            err_msg=f"slot={slot} pos0={pos0} n_valid={n_valid} k")
+        np.testing.assert_array_equal(
+            np.asarray(gv, np.float32), ev.astype(np.float32),
+            err_msg=f"slot={slot} pos0={pos0} n_valid={n_valid} v")
+
+
+def test_ring_window_prefill_matches_gather_flash():
+    """ring_window_prefill (in-place ring read, arithmetic masks) vs
+    gather_ring_context + flash_window_prefill_ref across chunk
+    boundaries incl. the first chunk (invalid ring entries) and a
+    partial tail."""
+    from vllm_hymeta_tpu.ops import ring_attention as ra
+    from vllm_hymeta_tpu.ops import swa
+    S, Hq, Hkv, D = 2, 8, 2, 128
+    Tq, R, W = 1024, 1536, 1025
+    key = jax.random.PRNGKey(7)
+
+    for slot, pos0, n_valid in [(0, 0, 1024), (1, 1024, 1024),
+                                (0, 2048, 1024), (1, 3 * 1024, 700)]:
+        ks = jax.random.split(jax.random.fold_in(key, pos0), 5)
+        q = jax.random.normal(ks[0], (Tq, Hq, D), jnp.bfloat16)
+        ck = jax.random.normal(ks[1], (Tq, Hkv, D), jnp.bfloat16)
+        cv = jax.random.normal(ks[2], (Tq, Hkv, D), jnp.bfloat16)
+        cache_k = jax.random.normal(ks[3], (S, Hkv, R, D), jnp.bfloat16)
+        cache_v = jax.random.normal(ks[4], (S, Hkv, R, D), jnp.bfloat16)
+        assert ra.ring_window_supported(q, cache_k, W)
+
+        got, lse = ra.ring_window_prefill(
+            q, cache_k, cache_v, ck, cv, slot, pos0, n_valid, W,
+            need_lse=True)
+
+        # oracle: ascending-position gather of the ring + ref attention
+        k_pos_ctx = pos0 - R + np.arange(R)
+        idx = k_pos_ctx % R
+        gk = jnp.swapaxes(cache_k[slot], 0, 1)[idx]   # [R, Hkv, D]
+        gv = jnp.swapaxes(cache_v[slot], 0, 1)[idx]
+        k_pos_ctx = np.where(k_pos_ctx >= 0, k_pos_ctx, swa.INVALID_POS)
+        positions = pos0 + np.arange(Tq)
+        valid = np.arange(Tq) < n_valid
+        qp = np.where(valid, positions, swa.INVALID_POS)
+        kp_all = np.concatenate([k_pos_ctx, qp])
+        k_all = jnp.concatenate([gk, ck], axis=0)
+        v_all = jnp.concatenate([gv, cv], axis=0)
+        ref, ref_lse = swa.flash_window_prefill_ref(
+            q, k_all, v_all, jnp.asarray(qp), jnp.asarray(kp_all), W)
+
+        gv_np = np.asarray(got, np.float32)[valid]
+        rv_np = np.asarray(ref, np.float32)[valid]
+        err = _rms(gv_np, rv_np)
+        assert err < 3e-2, (slot, pos0, n_valid, err)
+        lse_err = np.max(np.abs(np.asarray(lse).T[valid]
+                                - np.asarray(ref_lse).T[valid]))
+        assert lse_err < 1e-2, (slot, pos0, n_valid, lse_err)

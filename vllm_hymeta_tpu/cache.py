@@ -112,6 +112,17 @@ def write_prefill_kv(layer_cache: dict, slot: jax.Array,
     """
     S, Hkv, R, D = layer_cache["k"].shape
     T = k.shape[0]
+    if enable is True and layer_cache["k"].dtype != jnp.int8:
+        # zero-copy fast path: chunk positions are contiguous
+        # (pos0 + arange, every caller's contract), so the aliased Pallas
+        # block writer replaces the 58 GB/s mod-scatter (r5 trace)
+        from vllm_hymeta_tpu.ops import ring_attention as _ra
+        if _ra.ring_write_supported(layer_cache["k"], k):
+            nv = jnp.sum(valid.astype(jnp.int32))
+            ck, cv = _ra.ring_write(
+                layer_cache["k"], layer_cache["v"], k, v, slot,
+                positions[0], nv)
+            return {**layer_cache, "k": ck, "v": cv}
     idx = jnp.mod(positions, R)
     if T > R:
         # Drop tokens that a later token in this same chunk would overwrite.

@@ -38,7 +38,13 @@ class EngineConfig:
     max_num_seqs: int = 8
     max_model_len: int = 32768
     prefill_chunk: int = 8192          # max tokens per prefill step
-    prefill_buckets: Tuple[int, ...] = (512, 2048, 8192)
+    # compiled chunk sizes: each bucket is one jitted program (compiled
+    # lazily on first use).  The ladder is deliberately tight at the
+    # short end — the r4 sonnet run measured ~45% padding waste for
+    # ~550-token prompts under a pow2 ladder (512/2048/8192); 640/896
+    # catch typical chat prompts within ~15% padding (VERDICT r4 #10)
+    prefill_buckets: Tuple[int, ...] = (256, 512, 640, 896, 1280, 2048,
+                                        4096, 8192)
     kv_dtype: str = "bfloat16"
     state_dtype: str = "float32"
     use_device_sampling: bool = True

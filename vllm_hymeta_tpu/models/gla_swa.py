@@ -243,17 +243,28 @@ def prefill(cfg: GLAswaConfig, params: dict, cache: dict,
             q, k, v = common.project_qkv(ap, y[None], H, Hkv, D)
             q, k = _swa_rope(cfg, q, k, positions[None])
             q, k, v = q[0], k[0], v[0]
-            ctx_k, ctx_v, ctx_pos = common.gather_ring_context(
-                lc, lslot, pos0)
-            R = ctx_k.shape[0]
-            k_all = jnp.concatenate([ctx_k, k], axis=0)
-            v_all = jnp.concatenate([ctx_v, v], axis=0)
-            kp_all = jnp.concatenate(
-                [ctx_pos, jnp.where(valid, positions, swa.INVALID_POS)])
-            qp = jnp.where(valid, positions, swa.INVALID_POS)
-            out, _ = swa.flash_window_prefill(
-                q, k_all, v_all, qp, kp_all, cfg.window_keys, ctx_len=R,
-                need_lse=False)
+            from vllm_hymeta_tpu.ops import ring_attention
+            if ring_attention.ring_window_supported(q, lc["k"],
+                                                    cfg.window_keys):
+                # zero-copy path: the kernel reads the slot's ring IN
+                # PLACE (arithmetic positions/masks) — no gather, no
+                # concat, no k_pos arrays (r5 redesign)
+                out, _ = ring_attention.ring_window_prefill(
+                    q, lc["k"], lc["v"], k, v, lslot, pos0, n_valid,
+                    cfg.window_keys)
+            else:
+                ctx_k, ctx_v, ctx_pos = common.gather_ring_context(
+                    lc, lslot, pos0)
+                R = ctx_k.shape[0]
+                k_all = jnp.concatenate([ctx_k, k], axis=0)
+                v_all = jnp.concatenate([ctx_v, v], axis=0)
+                kp_all = jnp.concatenate(
+                    [ctx_pos,
+                     jnp.where(valid, positions, swa.INVALID_POS)])
+                qp = jnp.where(valid, positions, swa.INVALID_POS)
+                out, _ = swa.flash_window_prefill(
+                    q, k_all, v_all, qp, kp_all, cfg.window_keys,
+                    ctx_len=R, need_lse=False)
             att = pctx.psum(linear(ap["o_proj"], common.merge_heads(out)))
             lc = cache_lib.write_prefill_kv(lc, lslot, k, v, positions,
                                             valid, enable=owned)
@@ -484,17 +495,25 @@ def prefill_mixed(cfg: GLAswaConfig, params: dict, cache: dict,
             q, k = _swa_rope(cfg, q, k, all_positions[None])
             q, k, v = q[0], k[0], v[0]
             # --- prefill rows ---
-            ctx_k, ctx_v, ctx_pos = common.gather_ring_context(
-                lc, lslot, pos0)
-            R = ctx_k.shape[0]
-            k_all = jnp.concatenate([ctx_k, k[:T]], axis=0)
-            v_all = jnp.concatenate([ctx_v, v[:T]], axis=0)
-            kp_all = jnp.concatenate(
-                [ctx_pos, jnp.where(valid, positions, swa.INVALID_POS)])
-            qp = jnp.where(valid, positions, swa.INVALID_POS)
-            out_p, _ = swa.flash_window_prefill(
-                q[:T], k_all, v_all, qp, kp_all, cfg.window_keys,
-                ctx_len=R, need_lse=False)
+            from vllm_hymeta_tpu.ops import ring_attention
+            if ring_attention.ring_window_supported(q[:T], lc["k"],
+                                                    cfg.window_keys):
+                out_p, _ = ring_attention.ring_window_prefill(
+                    q[:T], lc["k"], lc["v"], k[:T], v[:T], lslot, pos0,
+                    n_valid, cfg.window_keys)
+            else:
+                ctx_k, ctx_v, ctx_pos = common.gather_ring_context(
+                    lc, lslot, pos0)
+                R = ctx_k.shape[0]
+                k_all = jnp.concatenate([ctx_k, k[:T]], axis=0)
+                v_all = jnp.concatenate([ctx_v, v[:T]], axis=0)
+                kp_all = jnp.concatenate(
+                    [ctx_pos,
+                     jnp.where(valid, positions, swa.INVALID_POS)])
+                qp = jnp.where(valid, positions, swa.INVALID_POS)
+                out_p, _ = swa.flash_window_prefill(
+                    q[:T], k_all, v_all, qp, kp_all, cfg.window_keys,
+                    ctx_len=R, need_lse=False)
             lc = cache_lib.write_prefill_kv(lc, lslot, k[:T], v[:T],
                                             positions, valid, enable=owned)
             # --- decode rows (ring updated first: token attends itself) ---

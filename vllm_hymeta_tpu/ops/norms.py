@@ -98,17 +98,22 @@ def _rms_norm_res_call(x2, r2, w, eps, bt):
 
 
 def fits(x: jax.Array, weight: jax.Array) -> bool:
-    """Kernel eligibility: 2-D-able bf16/f32 rows with a lane-aligned
-    hidden dim.  (The jnp path stays for grads, odd shapes, CPU.)"""
+    """Kernel eligibility: 2-D-able rows with a lane-aligned hidden dim;
+    small row counts are padded to a sublane multiple (decode S=1: the
+    jnp fallback materialized+VMEM-pinned the shared f32 upcast —
+    ~0.42 ms/token of copy latency, r5 trace).  The jnp path stays for
+    CPU and odd hidden dims."""
     if not _on_tpu() or x.ndim < 2:
         return False
     H = x.shape[-1]
-    if H % 128 != 0 or weight.shape != (H,):
-        return False
-    T = 1
-    for d in x.shape[:-1]:
-        T *= d
-    return T >= 8 and _pick_bt(T) > 0
+    return H % 128 == 0 and weight.shape == (H,)
+
+
+def _pad_rows(T: int) -> int:
+    Tp = max(8, (T + 7) // 8 * 8)
+    while _pick_bt(Tp) == 0:
+        Tp += 8
+    return Tp
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
@@ -117,8 +122,11 @@ def rms_norm(x: jax.Array, weight: jax.Array, eps: float = 1e-6):
     for d in x.shape[:-1]:
         T *= d
     x2 = x.reshape(T, x.shape[-1])
-    out = _rms_norm_call(x2, weight, float(eps), _pick_bt(T))
-    return out.reshape(x.shape)
+    Tp = _pad_rows(T)
+    if Tp != T:
+        x2 = jnp.pad(x2, ((0, Tp - T), (0, 0)))
+    out = _rms_norm_call(x2, weight, float(eps), _pick_bt(Tp))
+    return out[:T].reshape(x.shape)
 
 
 def _rms_fwd(x, weight, eps):
@@ -156,8 +164,12 @@ def rms_norm_residual(x: jax.Array, residual: jax.Array, weight: jax.Array,
         T *= d
     x2 = x.reshape(T, x.shape[-1])
     r2 = residual.reshape(T, x.shape[-1])
-    out, r = _rms_norm_res_call(x2, r2, weight, float(eps), _pick_bt(T))
-    return out.reshape(x.shape), r.reshape(x.shape)
+    Tp = _pad_rows(T)
+    if Tp != T:
+        x2 = jnp.pad(x2, ((0, Tp - T), (0, 0)))
+        r2 = jnp.pad(r2, ((0, Tp - T), (0, 0)))
+    out, r = _rms_norm_res_call(x2, r2, weight, float(eps), _pick_bt(Tp))
+    return out[:T].reshape(x.shape), r[:T].reshape(x.shape)
 
 
 def _rms_res_fwd(x, residual, weight, eps):
