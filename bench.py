@@ -67,6 +67,22 @@ def build_params(cfg, scheme: str, fuse: bool = True):
                 from vllm_hymeta_tpu.quant import attach_prefill_int8
                 params = quantize_params_gptq(params, bits=4, group_size=64)
                 params = attach_prefill_int8(params)
+            elif scheme == "gptq4cal":
+                # calibration-based GPTQ (quant/gptq.py): Hessians from a
+                # fixed token stream, layer-sequential compensation.  The
+                # layer forwards/quantizer run on the accelerator (params
+                # stream per layer); only the result is cached.
+                from vllm_hymeta_tpu.quant import attach_prefill_int8
+                from vllm_hymeta_tpu.quant.gptq import (
+                    quantize_params_gptq_calibrated)
+                import numpy as np
+                rs = np.random.RandomState(12345)
+                calib = rs.randint(0, cfg.vocab_size, size=(4, 1024))
+                with jax.default_device(jax.devices()[0]):
+                    params = quantize_params_gptq_calibrated(
+                        cfg, params, calib, bits=4, group_size=64)
+                params = jax.device_get(params)
+                params = attach_prefill_int8(params)
             try:
                 save_quantized(params, cache_dir)
             except Exception:

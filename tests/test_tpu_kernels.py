@@ -573,6 +573,8 @@ def test_ring_window_prefill_matches_gather_flash():
     gather_ring_context + flash_window_prefill_ref across chunk
     boundaries incl. the first chunk (invalid ring entries) and a
     partial tail."""
+    import os
+    os.environ["RING_ATTN"] = "1"   # kernel is opt-in (see its docstring)
     from vllm_hymeta_tpu.ops import ring_attention as ra
     from vllm_hymeta_tpu.ops import swa
     S, Hq, Hkv, D = 2, 8, 2, 128

@@ -31,7 +31,7 @@ import numpy as np  # noqa: E402
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SCHEMES = ("bf16", "w8a8", "gptq4")
+SCHEMES = ("bf16", "w8a8", "gptq4", "gptq4cal")
 
 
 def _cfg():

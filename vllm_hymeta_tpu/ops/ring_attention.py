@@ -169,8 +169,8 @@ def ring_write(cache_k, cache_v, k, v, slot, pos0, n_valid):
 
 def _rw_flash_kernel(s_ref, q_ref, rk_ref, rv_ref, ck_ref, cv_ref,
                      o_ref, lse_ref, m_ref, l_ref, acc_ref, *,
-                     R: int, W: int, bq: int, nctx0: int, nkb: int,
-                     rep: int, need_lse: bool):
+                     R: int, W: int, bq: int, rq: int, nkb: int,
+                     nR: int, rep: int, need_lse: bool):
     i = pl.program_id(1)
     j = pl.program_id(2)
     pos0 = s_ref[1]
@@ -183,16 +183,25 @@ def _rw_flash_kernel(s_ref, q_ref, rk_ref, rv_ref, ck_ref, cv_ref,
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
     D = q_ref.shape[3]
-    q = q_ref[0].reshape(rep * bq, D)
+    q = q_ref[0]                              # [rep, bq, D]
     qpos0 = pos0 + i * bq
-    nctx = nctx0 - i
+    nctx = jnp.minimum(nkb - rq * (i + 1), nR)
     is_ctx = j < nctx
 
-    # key positions for this step, from pure arithmetic
+    # key positions for this step, from pure arithmetic.  Vector mods
+    # would be VPU-emulated divisions (~2 ms/call, r5 microbench) — one
+    # SCALAR mod anchors the block, the per-element remainder is a
+    # subtract plus one wrap adjust (g spans BLK <= R: single wrap).
     end_blk = (pos0 - 1) // BLK
-    rblk = jnp.mod(end_blk - (nctx - 1) + j, R // BLK)
-    g = rblk * BLK + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
-    kpos_ring = pos0 - 1 - jnp.mod(pos0 - 1 - g, R)
+    rblk = jnp.mod(end_blk - (nctx - 1) + j, nR)
+    g0 = rblk * BLK
+    a0 = jnp.mod(pos0 - 1 - g0, R)            # scalar
+    ge = jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1)
+    m_e = a0 - ge
+    m_e = jnp.where(m_e < 0, m_e + R, m_e)
+    kpos_ring = pos0 - 1 - m_e
+    # chunk kpos uses the UNCLAMPED step offset: slack steps yield
+    # future positions -> fully masked (the index map clamps the fetch)
     kpos_chunk = (pos0 + (j - nctx) * BLK
                   + jax.lax.broadcasted_iota(jnp.int32, (1, BLK), 1))
     kpos = jnp.where(is_ctx, kpos_ring, kpos_chunk)
@@ -205,33 +214,31 @@ def _rw_flash_kernel(s_ref, q_ref, rk_ref, rv_ref, ck_ref, cv_ref,
     valid_key = (kpos >= 0) & (kpos < pos0 + n_valid)
     mask = (d >= 0) & (d < W) & valid_key
 
+    # all math in [rep, bq, *] — reshapes to [rep*bq, *] would retile
+    # sublanes physically on every step (r5 microbench: ~1.5 ms/call)
     s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)   # [rep*bq, BLK]
-    # interior (all-in-window) tiles skip the masked select entirely
-    interior = jnp.all(mask)
-    s = jax.lax.cond(
-        interior,
-        lambda: s,
-        lambda: jnp.where(mask[None], s.reshape(rep, bq, BLK),
-                          NEG_INF).reshape(rep * bq, BLK))
+        q, k, (((2,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)   # [rep, bq, BLK]
+    s = jnp.where(mask[None], s, NEG_INF)
 
-    m_prev = m_ref[:]
-    m_cur = jnp.max(s, axis=1, keepdims=True)
+    m_prev = m_ref[:]                          # [rep, bq]
+    m_cur = jnp.max(s, axis=2)
     m_new = jnp.maximum(m_prev, m_cur)
     alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(s - m_new)
-    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=1, keepdims=True)
-    acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    p = jnp.exp(s - m_new[..., None])
+    l_ref[:] = l_ref[:] * alpha + jnp.sum(p, axis=2)
+    acc_ref[:] = acc_ref[:] * alpha[..., None] + jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)    # [rep, bq, D]
     m_ref[:] = m_new
 
     @pl.when(j == nkb - 1)
     def _():
         l = jnp.maximum(l_ref[:], 1e-37)
-        o_ref[0] = (acc_ref[:] / l).reshape(rep, bq, D).astype(o_ref.dtype)
+        o_ref[0] = (acc_ref[:] / l[..., None]).astype(o_ref.dtype)
         if need_lse:
-            lse_ref[0] = (m_ref[:] + jnp.log(l)).reshape(rep, 1, bq)
+            lse_ref[0] = jnp.swapaxes(
+                (m_ref[:] + jnp.log(l))[:, None, :], 1, 1)
 
 
 @functools.partial(jax.jit, static_argnames=("W", "need_lse"))
@@ -243,33 +250,37 @@ def _rw_flash_call(q, cache_k, cache_v, ck, cv, slot, pos0, n_valid, W,
     Hkv, rep, Tq, D = q.shape
     R = cache_k.shape[2]
     nR = R // BLK
-    bq = BLK
+    import os as _os
+    bq = int(_os.environ.get('RING_BQ', 2 * BLK)) \
+        if Tq % (2 * BLK) == 0 else BLK
+    rq = bq // BLK
     nq = Tq // bq
-    # per q block i: nctx0 - i ring steps (the in-window context blocks,
-    # +1 slack for unaligned pos0) then i+1 chunk steps — constant total.
-    # Capped at nR: every ring index holds exactly ONE position, so
-    # visiting a block twice would double-count its keys (the window
-    # then spans the whole ring and nR distinct blocks cover it)
-    nctx0 = min(W // BLK + 2, nR)
-    nkb = nctx0 + 1
+    # per q block i: nctx_i = min(nkb - rq(i+1), nR) ring steps (the
+    # in-window context blocks, valid for ANY pos0 alignment: a span of
+    # W - i*bq positions straddles at most that many distinct aligned
+    # blocks, and nR distinct blocks always suffice — a revisited ring
+    # block would double-count its keys) then rq*(i+1) chunk steps plus
+    # slack; slack chunk steps carry future positions and mask dead.
+    nkb = W // BLK + 2 + rq
     nkb_chunk = Tq // BLK
     scalars = jnp.stack([jnp.asarray(slot, jnp.int32),
                          jnp.asarray(pos0, jnp.int32),
                          jnp.asarray(n_valid, jnp.int32)])
 
     def ring_idx(h, i, j, s):
-        nctx = nctx0 - i
+        nctx = jnp.minimum(nkb - rq * (i + 1), nR)
         end_blk = (s[1] - 1) // BLK
         jj = jnp.minimum(j, nctx - 1)        # freeze during chunk steps
         return (s[0], h, jnp.mod(end_blk - (nctx - 1) + jj, nR), 0)
 
     def chunk_idx(h, i, j, s):
-        jj = jnp.clip(j - (nctx0 - i), 0, nkb_chunk - 1)
+        nctx = jnp.minimum(nkb - rq * (i + 1), nR)
+        jj = jnp.clip(j - nctx, 0, nkb_chunk - 1)
         return (h, jj, 0)
 
     kernel = functools.partial(
-        _rw_flash_kernel, R=R, W=W, bq=bq, nctx0=nctx0, nkb=nkb, rep=rep,
-        need_lse=need_lse)
+        _rw_flash_kernel, R=R, W=W, bq=bq, rq=rq, nkb=nkb, nR=nR,
+        rep=rep, need_lse=need_lse)
     out, lse = pl.pallas_call(
         kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -290,9 +301,9 @@ def _rw_flash_call(q, cache_k, cache_v, ck, cv, slot, pos0, n_valid, W,
                              lambda h, i, j, s: (h, 0, 0, i)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((rep * bq, 1), jnp.float32),
-                pltpu.VMEM((rep * bq, 1), jnp.float32),
-                pltpu.VMEM((rep * bq, D), jnp.float32),
+                pltpu.VMEM((rep, bq), jnp.float32),
+                pltpu.VMEM((rep, bq), jnp.float32),
+                pltpu.VMEM((rep, bq, D), jnp.float32),
             ],
         ),
         out_shape=[
@@ -300,7 +311,7 @@ def _rw_flash_call(q, cache_k, cache_v, ck, cv, slot, pos0, n_valid, W,
             jax.ShapeDtypeStruct((Hkv, rep, 1, Tq), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
             vmem_limit_bytes=100 * 1024 * 1024),
         cost_estimate=pl.CostEstimate(
             flops=4 * Hkv * rep * Tq * nkb * BLK * D,
@@ -314,14 +325,28 @@ def _rw_flash_call(q, cache_k, cache_v, ck, cv, slot, pos0, n_valid, W,
 def ring_window_supported(q_tHD, cache_k, window_keys: int) -> bool:
     """Eligibility: block-aligned bf16 shapes, windowed layer, window
     covering the whole chunk minus one block (the constant-step schedule
-    assumes every earlier chunk block is in-window)."""
+    assumes every earlier chunk block is in-window).
+
+    DEFAULT OFF (RING_ATTN=1 opts in): on v5e the kernel measures
+    3.1 ms vs gather+splash's 2.45 ms on the 7B bench shape — its
+    serial QK->mask/exp->PV chain does not overlap VPU and MXU as well
+    as the library splash kernel, outweighing the gather it saves.
+    Kept for the zero-copy design + oracle tests; the ring WRITE kernel
+    (strictly better than the scatter) stays on."""
+    import os
+    if os.environ.get("RING_ATTN") != "1":
+        return False
     T, H, D = q_tHD.shape
     S, Hkv, R, D2 = cache_k.shape
-    nq = T // BLK
+    bq = 2 * BLK if T % (2 * BLK) == 0 else BLK
+    rq = bq // BLK
+    nq = T // bq
+    nkb = window_keys // BLK + 2 + rq
     return (_on_tpu() and window_keys > 0 and D == 128 and D2 == 128
             and T % BLK == 0 and R % BLK == 0 and R >= window_keys
             and R >= T + BLK
-            and window_keys + BLK > T and nq <= window_keys // BLK + 2
+            and window_keys + BLK > T
+            and nkb - rq * nq >= 1          # every q block keeps >=1 ctx step
             and cache_k.dtype == jnp.bfloat16 and H % Hkv == 0)
 
 

@@ -102,7 +102,9 @@ class ParallelCtx:
         """Map a global slot id to (local index, owned-here mask) when the
         slot dimension is sharded over the data axis."""
         if not self.data_axis:
-            return slot, jnp.bool_(True)
+            # python literal True: write paths use `enable is True` to
+            # select compile-time-unconditional fast kernels
+            return slot, True
         base = self.data_rank() * n_local
         local = slot - base
         owned = (local >= 0) & (local < n_local)
