@@ -378,6 +378,30 @@ class TestSplitPrefill:
                                    np.asarray(full[13 + T2 - 1]),
                                    atol=3e-3, rtol=1e-2)
 
+    def test_engine_non_divisible_bucket_falls_back(self):
+        """A bucket that does not divide by dp must route to the
+        replicated owner-masked prefill (not crash, not mis-shard) and
+        still match the single-device engine (VERDICT r4 weak #6)."""
+        from vllm_hymeta_tpu.engine.engine import Engine, EngineConfig
+        from vllm_hymeta_tpu.engine.sampler import SamplingParams
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(11),
+                                     dtype=jnp.float32)
+        # bucket 18 with dp=4: 18 % 4 != 0 -> replicated fallback
+        ecfg = EngineConfig(max_num_seqs=4, max_model_len=128,
+                            prefill_chunk=18, prefill_buckets=(18,),
+                            decode_block=2)
+        rs = np.random.RandomState(11)
+        prompt = list(rs.randint(0, 256, size=39))
+        sp = SamplingParams(temperature=0.0, max_tokens=5,
+                            ignore_eos=True)
+        base = Engine(cfg, params, ecfg).generate([prompt], sp)[0].output
+        mesh = make_mesh(tp=2, dp=4, devices=jax.devices()[:8])
+        eng = Engine(cfg, params, ecfg, mesh=mesh)
+        assert eng._local_prefill_split is not None
+        out = eng.generate([prompt], sp)[0].output
+        assert base == out, (base, out)
+
 
 class TestMeshMixed:
     """Mesh mixed batching (VERDICT r4 item 3): prefill chunk(s) per data

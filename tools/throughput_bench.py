@@ -13,7 +13,13 @@ within a few batches.
 Usage: python tools/throughput_bench.py
 Env:   NUM_PROMPTS (64), INPUT_LEN (550), OUTPUT_LEN (150),
        MAX_NUM_SEQS (16), BENCH_SCHEME (w8a8|gptq4|bf16),
-       BENCH_SMALL=1 (reduced-width smoke config), TP (mesh model axis)
+       BENCH_SMALL=1 (reduced-width smoke config), TP (mesh model axis),
+       ARRIVAL_RATE (req/s; 0 = all at t=0 — the vllm bench default;
+       >0 drives a Poisson arrival process through add_request/step so
+       TTFT measures steady-state admission, not backlog drain —
+       VERDICT r4 item 8), LEN_MIX=mixed9k (prompt lengths log-uniform
+       in [128, 8500] against the reference's max-model-len 9k recipe,
+       `readme.md:160-173`, instead of sonnet-length)
 """
 
 import json
@@ -60,10 +66,17 @@ def main():
     # bucket pads ~45% at 550-token sonnet prompts); BUCKET env overrides
     bucket = int(os.environ.get(
         "BUCKET", -((input_len + 64) // -128) * 128))
+    if os.environ.get("LEN_MIX") == "mixed9k":
+        max_len = 9216
+        buckets = (512, 1024, 2048, 4096)
+        bucket = 4096
+    else:
+        max_len = input_len + output_len + 64
+        buckets = (bucket,)
     ecfg = EngineConfig(max_num_seqs=max_num_seqs,
-                        max_model_len=input_len + output_len + 64,
+                        max_model_len=max_len,
                         prefill_chunk=bucket,
-                        prefill_buckets=(bucket,),
+                        prefill_buckets=buckets,
                         prefill_batch_wait=int(
                             os.environ.get("BATCH_WAIT", 8)),
                         kv_dtype=os.environ.get("KV_DTYPE", "bfloat16"),
@@ -80,12 +93,21 @@ def main():
     eng = Engine(cfg, params, ecfg, mesh=mesh)
 
     rs = np.random.RandomState(0)
-    # sonnet-style prompts: same ~length, slight jitter like sampled lines
-    lens = rs.randint(max(2, input_len - 64), input_len + 64,
-                      size=num_prompts)
+    len_mix = os.environ.get("LEN_MIX", "sonnet")
+    if len_mix == "mixed9k":
+        # the reference's throughput recipe serves max-model-len 9k
+        # (`readme.md:160-173`); log-uniform lengths exercise the whole
+        # range the way a real mixed workload does
+        lens = np.exp(rs.uniform(np.log(128), np.log(8500),
+                                 size=num_prompts)).astype(int)
+    else:
+        # sonnet-style prompts: same ~length, jitter like sampled lines
+        lens = rs.randint(max(2, input_len - 64), input_len + 64,
+                          size=num_prompts)
     prompts = [list(rs.randint(0, cfg.vocab_size, size=n)) for n in lens]
     sp = SamplingParams(temperature=0.0, max_tokens=output_len,
                         ignore_eos=True)
+    arrival_rate = float(os.environ.get("ARRIVAL_RATE", 0))
 
     # warmup: compile every power-of-two grouped-prefill batch size the
     # scheduler can pick (a compile landing inside the measured run costs
@@ -100,9 +122,31 @@ def main():
     eng.generate(prompts[:max_num_seqs * 3 // 2], sp)
 
     metrics = EngineMetrics(eng)
-    t0 = time.perf_counter()
-    done = eng.generate(prompts, sp)
-    elapsed = time.perf_counter() - t0
+    if arrival_rate > 0:
+        # Poisson arrivals: exponential inter-arrival gaps at
+        # ARRIVAL_RATE req/s; the engine steps continuously and admits
+        # whatever has "arrived" — TTFT then measures steady-state
+        # admission latency instead of the all-at-t=0 backlog drain
+        gaps = rs.exponential(1.0 / arrival_rate, size=num_prompts)
+        arrive_at = np.cumsum(gaps)
+        t0 = time.perf_counter()
+        done = []
+        nxt = 0
+        while len(done) < num_prompts:
+            now = time.perf_counter() - t0
+            while nxt < num_prompts and arrive_at[nxt] <= now:
+                eng.add_request(prompts[nxt], sp)
+                nxt += 1
+            if not eng.has_work():
+                if nxt < num_prompts:
+                    time.sleep(min(0.005, arrive_at[nxt] - now))
+                continue
+            done.extend(eng.step())
+        elapsed = time.perf_counter() - t0
+    else:
+        t0 = time.perf_counter()
+        done = eng.generate(prompts, sp)
+        elapsed = time.perf_counter() - t0
 
     n_in = sum(len(p) for p in prompts)
     n_out = sum(len(r.output) for r in done)
@@ -122,6 +166,16 @@ def main():
         "elapsed_s": round(elapsed, 2),
         "engine": metrics.to_dict(),
     }
+    ttfts = sorted((r.t_first_token - r.t_arrival) for r in done
+                   if r.t_first_token is not None)
+    if ttfts:
+        result["ttft_p50_s"] = round(
+            float(np.percentile(ttfts, 50)), 3)
+        result["ttft_p99_s"] = round(
+            float(np.percentile(ttfts, 99)), 3)
+    if arrival_rate > 0:
+        result["arrival_rate_req_s"] = arrival_rate
+        result["len_mix"] = len_mix
     print(json.dumps(result))
 
 
