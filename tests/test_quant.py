@@ -117,6 +117,45 @@ class TestTransforms:
                                          qp["zeros"])
         assert np.abs(np.asarray(y - x @ w)).max() < 0.5
 
+    def test_int4_sublane_pack_roundtrip_and_ref(self):
+        """qw4p layout (round 5): sublane nibble pack round-trips and the
+        CPU reference matvec matches the plain int4 reference."""
+        key = jax.random.PRNGKey(17)
+        K, N, g = 256, 64, 32
+        G = K // g
+        qw = jax.random.randint(key, (K, N), -8, 8, jnp.int8)
+        qw4 = quant_matmul.pack_int4(qw)
+        qw4p = quant_matmul.pack_int4_sublane(qw4, g)
+        assert qw4p.shape == (G, g // 2, N)
+        np.testing.assert_array_equal(
+            np.asarray(quant_matmul.unpack_int4_sublane(qw4p)),
+            np.asarray(qw).reshape(G, g, N))
+        sc = jnp.full((G, N), 0.01, jnp.float32)
+        zr = jnp.zeros((G, N), jnp.float32)
+        x = jax.random.normal(jax.random.PRNGKey(18), (3, K), jnp.bfloat16)
+        y = quant_matmul.int4gp_matvec(
+            x, qw4p, sc.astype(jnp.bfloat16).reshape(G, 1, N),
+            zr.astype(jnp.bfloat16).reshape(G, 1, N))
+        ref = quant_matmul.int4_matmul_ref(x, qw4, sc, zr)
+        assert np.abs(np.asarray(y, np.float32)
+                      - np.asarray(ref, np.float32)).max() < 2e-2
+
+    def test_fuse_attaches_qw4p_and_drops_shadowed_qw4(self):
+        """fuse_params attaches qw4p to every packed-INT4 linear and
+        drops qw4/scales/zeros when an INT8 prefill shadow exists."""
+        from vllm_hymeta_tpu.models import common, gla_swa
+        from vllm_hymeta_tpu.quant import attach_prefill_int8
+        cfg = tiny_glaswa()
+        params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),
+                                     dtype=jnp.float32)
+        q = quantize_params_gptq(params, bits=4, group_size=32)
+        q = attach_prefill_int8(q)
+        fused = common.fuse_params(cfg, q, tp=1)
+        mlp = fused["layers"][0]["mlp"]["gate_up_proj"]
+        assert "qw4p" in mlp and "s4_scales" in mlp
+        assert "qw4" not in mlp and "scales" not in mlp
+        assert "qw8" in mlp
+
     def test_exclusions(self):
         cfg = tiny_glaswa()
         params = gla_swa.init_params(cfg, jax.random.PRNGKey(0),

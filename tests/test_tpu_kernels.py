@@ -420,6 +420,47 @@ def test_int4g_matvec_matches_ref(M, K, N, int8_act):
     assert _rms(out, ref) < tol, _rms(out, ref)
 
 
+@pytest.mark.parametrize("M,K,N,int8_act", [
+    (1, 3584, 4608, True), (1, 18944, 3584, True), (1, 3584, 37888, True),
+    (16, 3584, 3584, True), (1, 18944, 3584, False),
+])
+def test_int4gp_matvec_matches_int4g(M, K, N, int8_act):
+    """Sublane-nibble-packed decode matvec (round 5): the in-kernel
+    pltpu.bitcast unpack must reproduce the grouped-s4 kernel (same
+    activation-quant math, same epilogue) bit-for-bit on TPU — it reads
+    the SAME nibbles from an int8-typed operand."""
+    from vllm_hymeta_tpu.ops import quant_matmul as qm
+    key = jax.random.PRNGKey(5)
+    k1, k2, k3, k4 = jax.random.split(key, 4)
+    g = 64
+    G = K // g
+    x = jax.random.normal(k1, (M, K), jnp.bfloat16)
+    qw = jax.random.randint(k2, (K, N), -8, 8, jnp.int8)
+    qw4 = qm.pack_int4(qw)
+    sc = (jax.random.uniform(k3, (G, N), jnp.float32) * 2e-3 + 1e-3)
+    zr = jax.random.randint(k4, (G, N), -8, 8, jnp.int32).astype(jnp.float32)
+    s3 = sc.astype(jnp.bfloat16).reshape(G, 1, N)
+    z3 = zr.astype(jnp.bfloat16).reshape(G, 1, N)
+    qw4p = qm.pack_int4_sublane(qw4, g)
+    # layout round-trip
+    np.testing.assert_array_equal(
+        np.asarray(qm.unpack_int4_sublane(qw4p)),
+        np.asarray(qm.unpack_int4(qw4)).reshape(G, g, N))
+
+    @jax.jit
+    def run_gp(x, qw4p):
+        return qm.int4gp_matvec(x, qw4p, s3, z3, int8_act=int8_act)
+
+    @jax.jit
+    def run_g(x, qw4):
+        w4g = qm.qw4_to_grouped_s4(qw4, g)
+        return qm.int4g_matvec(x, w4g, s3, z3, int8_act=int8_act)
+
+    out = np.asarray(run_gp(x, qw4p))
+    want = np.asarray(run_g(x, qw4))
+    np.testing.assert_array_equal(out, want)
+
+
 def test_gla_chunked_pallas_gqa_matches_ref():
     """GQA mode (round 4): rep query heads share a KV head's k/v/g AND
     state — kernel output must equal the repeat-then-run reference."""

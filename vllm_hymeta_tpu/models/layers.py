@@ -26,7 +26,7 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
         # desc_act GPTQ: weight rows live in group order; gather the
         # activations to match (x[perm] @ W[perm] == x @ W)
         x = jnp.take(x, p["act_perm"], axis=-1)
-    if "qw4" in p:
+    if "qw4" in p or "qw4p" in p:
         rows = 1
         for d in x.shape[:-1]:
             rows *= d
@@ -35,6 +35,12 @@ def linear(p: dict, x: jax.Array) -> jax.Array:
             # compute-bound prefill takes the INT8 shadow on the MXU's
             # int8 path; bandwidth-bound decode streams the INT4 packing
             y = quant_matmul.w8a8_matmul(x, p["qw8"], p["w8_scale"])
+        elif "qw4p" in p and rows <= 64:
+            # sublane-nibble-packed decode matvec (fuse_params "qw4p"
+            # layout): in-kernel pltpu.bitcast unpack — native-s4 speed
+            # with no per-decode-block conversion pass
+            y = quant_matmul.int4gp_matvec(x, p["qw4p"], p["s4_scales"],
+                                           p["s4_zeros"])
         elif "qw4g" in p and rows <= 64:
             # grouped-s4 decode matvec (prepare_decode_params layout):
             # native int4 reads at ~570 GB/s-of-int4 vs ~330 for the

