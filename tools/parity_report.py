@@ -141,6 +141,8 @@ def report():
     print("|---|---|---|" + ("---|---|---|" if has_margin else "")
           + "---|---|")
     for scheme in SCHEMES:
+        if not os.path.exists(f"/tmp/parity_{scheme}.npz"):
+            continue
         d = np.load(f"/tmp/parity_{scheme}.npz")
         ga = float((d["greedy"] == base["greedy"]).mean())
         neq = d["greedy"] != base["greedy"]
